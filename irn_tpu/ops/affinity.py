@@ -1,0 +1,166 @@
+"""Device ops over path geometry: affinities, affinity labels, displacements.
+
+These are the jit-friendly equivalents of three reference pieces:
+
+- ``edge_to_affinity`` — per-pair path affinity = 1 - max(edge along path)
+  (misc/indexing.py:91-109 and net/resnet50_irn.py:162-175).
+- ``affinity_labels`` — the three {bg-pos, fg-pos, neg} per-pair masks the
+  reference extracts on CPU inside DataLoader workers
+  (voc12/dataloader.py:80-106); here a trivially-vectorized device op.
+- ``pair_displacement`` — per-pair displacement differences src - dst
+  (net/resnet50_irn.py:177-193).
+- ``affinity_displacement_losses`` — the four raw per-pair loss maps
+  (net/resnet50_irn.py:198-213) and their masked reduction
+  (step/train_irn.py:58-69).
+
+All shapes are static given (radius, grid size); geometry tensors come from
+:mod:`irn_tpu.ops.paths` and are closed over as device constants.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from irn_tpu.ops.paths import GridPathIndex, PathSet
+
+
+def edge_to_affinity(edge_flat: jax.Array, grid_index: GridPathIndex) -> jax.Array:
+    """Path affinities from a flattened edge map.
+
+    Args:
+      edge_flat: [..., H*W] edge strength in [0, 1].
+      grid_index: geometry bound to (H, W).
+
+    Returns:
+      [..., n_pairs, P] affinity = 1 - max(edge over path cells), where
+      P = n_window_pixels. Pair order matches the geometry's concatenated
+      length groups (and therefore the reference's buffer order).
+    """
+    affs = []
+    for gi in grid_index.group_indices:  # [n_g, L_g, P]
+        idx = jnp.asarray(gi.reshape(-1))
+        vals = jnp.take(edge_flat, idx, axis=-1)
+        vals = vals.reshape(edge_flat.shape[:-1] + gi.shape)
+        affs.append(1.0 - vals.max(axis=-2))  # [..., n_g, P]
+    return jnp.concatenate(affs, axis=-2)
+
+
+def affinity_labels(
+    label_flat: jax.Array,
+    src_indices: jax.Array,
+    dst_indices: jax.Array,
+    n_classes_with_bg: int = 21,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """{bg-pos, fg-pos, neg} float masks from an int label map.
+
+    Args:
+      label_flat: [..., H*W] int labels (0 = bg, 1..20 = classes,
+        255 = ignore).
+      src_indices: [P] flat window indices.
+      dst_indices: [n_pairs, P] flat destination indices.
+
+    Returns three float32 arrays of shape [..., n_pairs, P].
+    """
+    lab_src = jnp.take(label_flat, jnp.asarray(src_indices), axis=-1)
+    lab_src = lab_src[..., None, :]  # [..., 1, P]
+    lab_dst = jnp.take(
+        label_flat, jnp.asarray(dst_indices).reshape(-1), axis=-1
+    ).reshape(label_flat.shape[:-1] + dst_indices.shape)
+    valid = (lab_src < n_classes_with_bg) & (lab_dst < n_classes_with_bg)
+    equal = lab_src == lab_dst
+    pos = equal & valid
+    bg_pos = (pos & (lab_src == 0)).astype(jnp.float32)
+    fg_pos = (pos & (lab_src > 0)).astype(jnp.float32)
+    neg = (~equal) & valid
+    return bg_pos, fg_pos, neg.astype(jnp.float32)
+
+
+def pair_displacement(dp: jax.Array, path_set: PathSet) -> jax.Array:
+    """Per-pair displacement differences.
+
+    Args:
+      dp: [B, H, W, 2] displacement field (dy, dx channels).
+
+    Returns:
+      [B, 2, n_pairs, P] src - dst differences over the valid window
+      (channel-first pair layout to align with the reference's loss maps).
+    """
+    rf = path_set.radius_floor
+    b, h, w, _ = dp.shape
+    ch, cw = h - rf, w - 2 * rf
+    src = dp[:, :ch, rf : rf + cw, :]  # [B, ch, cw, 2]
+    dsts = jnp.stack(
+        [
+            dp[:, dy : dy + ch, rf + dx : rf + dx + cw, :]
+            for dy, dx in path_set.dst_offsets
+        ],
+        axis=1,
+    )  # [B, n_pairs, ch, cw, 2]
+    pair = src[:, None] - dsts
+    pair = pair.reshape(b, path_set.n_pairs, ch * cw, 2)
+    return jnp.transpose(pair, (0, 3, 1, 2))
+
+
+class AffinityLossMaps(NamedTuple):
+    pos_aff: jax.Array  # [B, n_pairs, P]
+    neg_aff: jax.Array  # [B, n_pairs, P]
+    dp_fg: jax.Array    # [B, 2, n_pairs, P]
+    dp_bg: jax.Array    # [B, 2, n_pairs, P]
+
+
+def affinity_displacement_loss_maps(
+    edge_logit: jax.Array, dp: jax.Array, grid_index: GridPathIndex
+) -> AffinityLossMaps:
+    """The four raw per-pair loss maps (resnet50_irn.py:198-213).
+
+    Args:
+      edge_logit: [B, H, W, 1] boundary logits at stride 4.
+      dp: [B, H, W, 2] displacement field.
+    """
+    b = edge_logit.shape[0]
+    edge = jax.nn.sigmoid(edge_logit[..., 0]).reshape(b, -1)
+    aff = edge_to_affinity(edge, grid_index)
+    pos_aff = -jnp.log(aff + 1e-5)
+    neg_aff = -jnp.log(1.0 + 1e-5 - aff)
+
+    pair = pair_displacement(dp, grid_index.path_set)
+    target = jnp.asarray(
+        grid_index.path_set.dst_offsets.T.astype(np.float32)
+    )[None, :, :, None]  # [1, 2, n_pairs, 1]
+    dp_fg = jnp.abs(pair - target)
+    dp_bg = jnp.abs(pair)
+    return AffinityLossMaps(pos_aff, neg_aff, dp_fg, dp_bg)
+
+
+def irn_total_loss(
+    maps: AffinityLossMaps,
+    bg_pos_label: jax.Array,
+    fg_pos_label: jax.Array,
+    neg_label: jax.Array,
+):
+    """Masked reduction and weighting (step/train_irn.py:58-69).
+
+    Labels are [B, n_pairs, P] float masks. Returns (total, metrics dict).
+    """
+    eps = 1e-5
+    bg_pos = jnp.sum(bg_pos_label * maps.pos_aff) / (jnp.sum(bg_pos_label) + eps)
+    fg_pos = jnp.sum(fg_pos_label * maps.pos_aff) / (jnp.sum(fg_pos_label) + eps)
+    pos = bg_pos / 2.0 + fg_pos / 2.0
+    neg = jnp.sum(neg_label * maps.neg_aff) / (jnp.sum(neg_label) + eps)
+    dp_fg = jnp.sum(maps.dp_fg * fg_pos_label[:, None]) / (
+        2.0 * jnp.sum(fg_pos_label) + eps
+    )
+    dp_bg = jnp.sum(maps.dp_bg * bg_pos_label[:, None]) / (
+        2.0 * jnp.sum(bg_pos_label) + eps
+    )
+    total = (pos + neg) / 2.0 + (dp_fg + dp_bg) / 2.0
+    return total, {
+        "loss_pos_aff": pos,
+        "loss_neg_aff": neg,
+        "loss_dp_fg": dp_fg,
+        "loss_dp_bg": dp_bg,
+    }

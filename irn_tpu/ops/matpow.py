@@ -1,0 +1,50 @@
+"""Repeated matrix squaring T -> T^(2^e) — the dominant FLOP cost of the
+label-making stages (8 dense squarings of a ~16k^2 transition matrix per
+image, misc/indexing.py:136-137).
+
+Two paths:
+
+- XLA ``jnp.dot`` (default off-TPU): already near-roofline for these sizes.
+- A Pallas blocked MXU kernel (:mod:`irn_tpu.ops.matpow_pallas`) used on TPU,
+  which tiles HBM-resident blocks through VMEM with fp32 accumulation and
+  optional bf16 operand feeds.
+
+``matmul_dtype`` controls operand precision: ``None`` keeps float32 operands
+with HIGHEST precision (exact-ish); ``jnp.bfloat16`` casts operands per
+squaring and accumulates in float32 (~2x MXU throughput; validated against
+the f32 path at pseudo-label fidelity in tests/benchmarks).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def matmul_square(t: jax.Array, matmul_dtype: Optional[jnp.dtype] = None) -> jax.Array:
+    """One squaring T @ T with the configured operand precision."""
+    if _use_pallas():
+        from irn_tpu.ops.matpow_pallas import square_pallas
+
+        return square_pallas(t, matmul_dtype=matmul_dtype)
+    if matmul_dtype is not None:
+        tb = t.astype(matmul_dtype)
+        return jnp.dot(tb, tb, preferred_element_type=jnp.float32)
+    return jnp.dot(t, t, precision=jax.lax.Precision.HIGHEST)
+
+
+def matrix_power_squarings(
+    t: jax.Array, exp_times: int, matmul_dtype: Optional[jnp.dtype] = None
+) -> jax.Array:
+    for _ in range(exp_times):
+        t = matmul_square(t, matmul_dtype=matmul_dtype)
+    return t

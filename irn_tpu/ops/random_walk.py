@@ -1,0 +1,219 @@
+"""Boundary-guided random-walk propagation — the pipeline's MXU hot spot.
+
+Semantics match ``propagate_to_edge`` (/root/reference/misc/indexing.py:
+141-166): the boundary map becomes per-pair path affinities (radius 5), the
+affinities are scattered into a dense symmetric (HW x HW) matrix with an
+identity diagonal, raised elementwise to ``beta``, column-normalized into a
+transition matrix T, squared ``exp_times`` times (=> T^(2^exp_times)), and
+the boundary-damped seed maps are propagated with one ``x @ T``.
+
+TPU-first redesign (vs the reference's per-image rebuild):
+
+- **One compilation for every image.** The reference rebuilds PathIndex and
+  a fresh (HW)^2 matrix for each image's exact size and round-trips through
+  a CPU sparse tensor (indexing.py:117). Here the grid is a fixed cap
+  (default 128x128 stride-4 cells = 512px images); true extents arrive as
+  *dynamic scalars*, out-of-extent cells carry edge=1.0 (a hard boundary,
+  affinity exactly 0), so interior results are bit-identical to the
+  reference's cropped computation while every image reuses one XLA program.
+- The affinity scatter happens on device (no host round trip); the vertex
+  count is padded to a multiple of 512 so all matmuls tile the 128x128 MXU
+  exactly; padded vertices are isolated self-loops.
+- Out-of-extent correctness of the final x4 upsample uses normalized
+  (mask-weighted) bilinear interpolation, which reproduces clamped-border
+  bilinear exactly for axis-aligned valid regions.
+
+The 8 squarings (~70 TFLOP at the full 16k grid) run through
+:func:`irn_tpu.ops.matpow.matrix_power_squarings`, which dispatches to a
+Pallas blocked kernel on TPU with an XLA fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from irn_tpu.ops import paths
+from irn_tpu.ops.affinity import edge_to_affinity
+from irn_tpu.ops.matpow import matrix_power_squarings
+from irn_tpu.ops.resize import resize_bilinear_chw
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class RandomWalkGeometry:
+    """Static geometry for the capped random-walk grid.
+
+    Attributes:
+      cap: (H, W) stride-4 grid cap (true images occupy a top-left window).
+      radius: path radius (reference uses 5 at inference).
+      padded: boundary-padded grid (H + r, W + 2r), matching the reference's
+        pad of r on left/right/bottom (indexing.py:145-150).
+      n_vertices: padded-grid pixel count.
+      n_pad: n_vertices rounded up to a multiple of 512 (MXU tiling).
+    """
+
+    cap: Tuple[int, int]
+    radius: int
+    padded: Tuple[int, int]
+    n_vertices: int
+    n_pad: int
+    grid_index: paths.GridPathIndex
+
+
+@functools.lru_cache(maxsize=None)
+def build_geometry(cap_h: int = 128, cap_w: int = 128, radius: int = 5) -> RandomWalkGeometry:
+    padded = (cap_h + radius, cap_w + 2 * radius)
+    ps = paths.build_path_set(radius)
+    gi = paths.build_grid_index(ps, padded)
+    n_vertices = padded[0] * padded[1]
+    return RandomWalkGeometry(
+        cap=(cap_h, cap_w),
+        radius=radius,
+        padded=padded,
+        n_vertices=n_vertices,
+        n_pad=_round_up(n_vertices, 512),
+        grid_index=gi,
+    )
+
+
+def _extent_mask(h: jax.Array, w: jax.Array, shape: Tuple[int, int]) -> jax.Array:
+    """[shape] float mask, 1.0 where (row < h) & (col < w)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return ((rows < h) & (cols < w)).astype(jnp.float32)
+
+
+def dense_affinity(geom: RandomWalkGeometry, edge_capped: jax.Array) -> jax.Array:
+    """Scatter path affinities into the dense symmetric matrix.
+
+    Args:
+      edge_capped: [cap_h, cap_w] edge map; cells beyond the true extent
+        MUST already be 1.0 (hard boundary).
+
+    Returns:
+      [n_pad, n_pad] dense affinity with identity diagonal.
+    """
+    r = geom.radius
+    ph, pw = geom.padded
+    edge_padded = jnp.ones((ph, pw), edge_capped.dtype)
+    edge_padded = edge_padded.at[: geom.cap[0], r : r + geom.cap[1]].set(edge_capped)
+
+    aff = edge_to_affinity(edge_padded.reshape(-1), geom.grid_index)  # [n_pairs, P]
+
+    gi = geom.grid_index
+    rows = np.broadcast_to(
+        gi.src_indices[None, :], gi.dst_indices.shape
+    ).reshape(-1)
+    cols = gi.dst_indices.reshape(-1)
+    rows_j = jnp.asarray(rows, jnp.int32)
+    cols_j = jnp.asarray(cols, jnp.int32)
+    vals = aff.reshape(-1)
+
+    a = jnp.zeros((geom.n_pad, geom.n_pad), jnp.float32)
+    a = a.at[rows_j, cols_j].set(vals)
+    a = a.at[cols_j, rows_j].set(vals)
+    diag = jnp.arange(geom.n_pad, dtype=jnp.int32)
+    a = a.at[diag, diag].set(1.0)
+    return a
+
+
+def transition_matrix(
+    affinity: jax.Array,
+    beta: int = 10,
+    exp_times: int = 8,
+    matmul_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """A^beta, column-normalize, then ``exp_times`` squarings => T^(2^e).
+
+    Column (not row) normalization matches the reference
+    (indexing.py:135)."""
+    scaled = affinity**beta
+    t = scaled / jnp.sum(scaled, axis=0, keepdims=True)
+    return matrix_power_squarings(t, exp_times, matmul_dtype=matmul_dtype)
+
+
+def propagate(
+    geom: RandomWalkGeometry,
+    cam_capped: jax.Array,
+    edge_capped: jax.Array,
+    beta: int = 10,
+    exp_times: int = 8,
+    matmul_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """Random-walk propagation of seed maps to boundaries.
+
+    Args:
+      cam_capped: [C, cap_h, cap_w] seed score maps (zeros beyond extent).
+      edge_capped: [cap_h, cap_w] edge map (1.0 beyond extent).
+
+    Returns:
+      [C, cap_h, cap_w] propagated scores (zero beyond extent).
+    """
+    t = transition_matrix(
+        dense_affinity(geom, edge_capped), beta, exp_times, matmul_dtype
+    )
+
+    r = geom.radius
+    ch, cw = geom.cap
+    c = cam_capped.shape[0]
+    damped = cam_capped * (1.0 - edge_capped)[None]
+    seeds = jnp.zeros((c, geom.padded[0], geom.padded[1]), jnp.float32)
+    seeds = seeds.at[:, :ch, r : r + cw].set(damped)
+    seeds_flat = seeds.reshape(c, geom.n_vertices)
+    seeds_flat = jnp.pad(seeds_flat, ((0, 0), (0, geom.n_pad - geom.n_vertices)))
+
+    if matmul_dtype is not None:
+        rw = jnp.dot(
+            seeds_flat.astype(matmul_dtype),
+            t.astype(matmul_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        # right-multiplication x @ T (indexing.py:164)
+        rw = jnp.dot(seeds_flat, t, precision=jax.lax.Precision.HIGHEST)
+    rw = rw[:, : geom.n_vertices].reshape(c, *geom.padded)
+    return rw[:, :ch, r : r + cw]
+
+
+def upsample_and_decode(
+    rw_capped: jax.Array,
+    h4: jax.Array,
+    w4: jax.Array,
+    h0: jax.Array,
+    w0: jax.Array,
+    bg_thres: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """x4 bilinear upsample, max-normalize, bg-threshold-pad, argmax.
+
+    Matches step/make_sem_seg_labels.py:44-47 with dynamic true extents:
+    the grid-valid region is (h4, w4) stride-4 cells; the pixel-valid region
+    is (h0, w0). Returns (labels [4H, 4W] int32 where 0 = background and
+    k >= 1 means seed channel k-1; max_score scalar).
+    Out-of-extent pixels decode to background.
+    """
+    c, ch, cw = rw_capped.shape
+    m4 = _extent_mask(h4, w4, (ch, cw))
+    rw_up = resize_bilinear_chw(rw_capped * m4[None], (4 * ch, 4 * cw))
+    m_up = resize_bilinear_chw(m4, (4 * ch, 4 * cw))
+    # normalized bilinear == clamped-border bilinear for axis-aligned extents
+    rw_up = jnp.where(m_up > 1e-6, rw_up / jnp.maximum(m_up, 1e-6), 0.0)
+
+    pix = _extent_mask(h0, w0, (4 * ch, 4 * cw))
+    rw_up = rw_up * pix[None]
+    max_score = jnp.max(rw_up)
+    rw_up = rw_up / jnp.maximum(max_score, 1e-12)
+    stacked = jnp.concatenate(
+        [jnp.full((1, 4 * ch, 4 * cw), bg_thres, rw_up.dtype), rw_up], axis=0
+    )
+    labels = jnp.argmax(stacked, axis=0).astype(jnp.int32)
+    labels = jnp.where(pix > 0, labels, 0)
+    return labels, max_score

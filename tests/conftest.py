@@ -3,16 +3,23 @@
 Multi-chip TPU hardware is not available in CI; all sharding paths are
 exercised on a virtual 8-device CPU platform, as the driver does for
 ``dryrun_multichip``.
+
+NOTE: this environment preloads an experimental 'axon' TPU platform plugin
+that overrides the JAX_PLATFORMS env var, so the CPU platform must be forced
+through jax.config *before* any backend is initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

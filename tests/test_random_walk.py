@@ -1,0 +1,140 @@
+"""Random-walk propagation tests against an independent NumPy oracle that
+follows the reference algorithm literally (pad -> affinity -> dense scatter
+-> crop -> pow/normalize -> repeated squaring -> damped seed matmul,
+misc/indexing.py:141-166), including the crop-before-normalize step our
+capped implementation proves unnecessary."""
+
+import numpy as np
+import pytest
+
+from irn_tpu.ops import paths
+from irn_tpu.ops.affinity import affinity_labels, edge_to_affinity
+from irn_tpu.ops import random_walk as rw_mod
+
+
+def oracle_propagate(cam, edge, radius, beta, exp_times):
+    """Literal reference semantics in NumPy (float64 for stability)."""
+    c, h, w = cam.shape
+    ph, pw = h + radius, w + 2 * radius
+    epad = np.ones((ph, pw), np.float64)
+    epad[:h, radius : radius + w] = edge
+
+    ps = paths.build_path_set(radius)
+    gi = paths.build_grid_index(ps, (ph, pw))
+    eflat = epad.reshape(-1)
+    aff = np.concatenate(
+        [1.0 - eflat[g].max(axis=1) for g in gi.group_indices], axis=0
+    )  # [n_pairs, P]
+
+    n = ph * pw
+    a = np.zeros((n, n), np.float64)
+    srcs = np.broadcast_to(gi.src_indices[None], gi.dst_indices.shape).ravel()
+    dsts = gi.dst_indices.ravel()
+    a[srcs, dsts] = aff.ravel()
+    a = a + a.T
+    np.fill_diagonal(a, 1.0)
+    # reference crops the padding ring before normalization (indexing.py:157)
+    a = a.reshape(ph, pw, ph, pw)[:h, radius : radius + w, :h, radius : radius + w]
+    a = a.reshape(h * w, h * w)
+
+    a = a**beta
+    t = a / a.sum(axis=0, keepdims=True)
+    for _ in range(exp_times):
+        t = t @ t
+    x = (cam * (1.0 - edge)[None]).reshape(c, -1)
+    return (x @ t).reshape(c, h, w)
+
+
+def test_edge_to_affinity_bruteforce(rng):
+    ps = paths.build_path_set(5)
+    gi = paths.build_grid_index(ps, (12, 16))
+    edge = rng.random((12, 16)).astype(np.float32)
+    got = np.asarray(edge_to_affinity(edge.reshape(-1), gi))
+    eflat = edge.reshape(-1)
+    want = np.concatenate(
+        [1.0 - eflat[g].max(axis=1) for g in gi.group_indices], axis=0
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_affinity_labels_bruteforce(rng):
+    ps = paths.build_path_set(5)
+    gi = paths.build_grid_index(ps, (12, 16))
+    label = rng.choice(
+        np.array([0, 1, 2, 255], np.int32), size=(12 * 16,), p=[0.4, 0.25, 0.25, 0.1]
+    )
+    bg, fg, neg = affinity_labels(label, gi.src_indices, gi.dst_indices)
+    ls = label[gi.src_indices][None]
+    lt = label[gi.dst_indices]
+    valid = (ls < 21) & (lt < 21)
+    eq = ls == lt
+    np.testing.assert_array_equal(np.asarray(bg), ((eq & valid) & (ls == 0)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(fg), ((eq & valid) & (ls > 0)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(neg), ((~eq) & valid).astype(np.float32))
+
+
+def test_transition_is_column_stochastic(rng):
+    geom = rw_mod.build_geometry(12, 12, radius=5)
+    edge = rng.random((12, 12)).astype(np.float32)
+    a = rw_mod.dense_affinity(geom, edge)
+    t = rw_mod.transition_matrix(a, beta=4, exp_times=0)
+    np.testing.assert_allclose(np.asarray(t).sum(axis=0), 1.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("exp_times", [0, 3])
+def test_propagate_matches_oracle_exact_cap(rng, exp_times):
+    h = w = 12
+    cam = rng.random((3, h, w)).astype(np.float32)
+    edge = rng.random((h, w)).astype(np.float32) * 0.9
+    want = oracle_propagate(cam, edge, radius=5, beta=6, exp_times=exp_times)
+
+    geom = rw_mod.build_geometry(h, w, radius=5)
+    got = np.asarray(
+        rw_mod.propagate(geom, cam, edge, beta=6, exp_times=exp_times)
+    )
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-3)
+
+
+def test_propagate_matches_oracle_padded_cap(rng):
+    """True extent (10, 9) inside a (16, 12) cap must reproduce the
+    exact-size reference computation on the interior."""
+    h, w = 10, 9
+    cap_h, cap_w = 16, 12
+    cam = rng.random((2, h, w)).astype(np.float32)
+    edge = rng.random((h, w)).astype(np.float32) * 0.9
+    want = oracle_propagate(cam, edge, radius=5, beta=6, exp_times=2)
+
+    cam_c = np.zeros((2, cap_h, cap_w), np.float32)
+    cam_c[:, :h, :w] = cam
+    edge_c = np.ones((cap_h, cap_w), np.float32)
+    edge_c[:h, :w] = edge
+    geom = rw_mod.build_geometry(cap_h, cap_w, radius=5)
+    got = np.asarray(rw_mod.propagate(geom, cam_c, edge_c, beta=6, exp_times=2))
+    np.testing.assert_allclose(got[:, :h, :w], want, atol=5e-5, rtol=1e-3)
+    # out-of-extent stays (near) zero
+    assert np.abs(got[:, h:, :]).max() < 1e-6
+    assert np.abs(got[:, :, w:]).max() < 1e-6
+
+
+def test_decode_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    h4, w4, h0, w0 = 10, 9, 37, 33
+    cap = 12
+    c = 4
+    rw = rng.random((c, h4, w4)).astype(np.float32)
+    bg_thres = 0.35
+
+    rw_t = torch.from_numpy(rw)[None]
+    up = F.interpolate(rw_t, scale_factor=4, mode="bilinear", align_corners=False)
+    up = up[0, :, :h0, :w0]
+    up = up / torch.max(up)
+    padded = F.pad(up, (0, 0, 0, 0, 1, 0), value=bg_thres)
+    want = torch.argmax(padded, dim=0).numpy()
+
+    rw_c = np.zeros((c, cap, cap), np.float32)
+    rw_c[:, :h4, :w4] = rw
+    labels, _ = rw_mod.upsample_and_decode(rw_c, h4, w4, h0, w0, bg_thres)
+    got = np.asarray(labels)[:h0, :w0]
+    np.testing.assert_array_equal(got, want)
