@@ -1,0 +1,120 @@
+"""Batch loading with background prefetch (replaces torch DataLoader +
+``split_dataset`` fan-out, misc/torchutils.py:66-68).
+
+TPU-first: batches are collated to fixed-shape stacked NumPy arrays ready
+for a single host->device transfer; a thread pool overlaps JPEG decode and
+augmentation with device compute; sharding across hosts/processes is a
+strided ``shard()`` of the index space (the reference's strided Subset
+split)."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def shard_indices(n: int, shard: int, num_shards: int) -> np.ndarray:
+    """Strided shard of range(n) (torchutils.split_dataset semantics)."""
+    return np.arange(shard, n, num_shards)
+
+
+def collate(samples: Sequence[Dict]) -> Dict:
+    """Stack same-shaped arrays; keep lists for strings/ragged entries."""
+    out: Dict = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        first = vals[0]
+        if isinstance(first, np.ndarray) and all(
+            isinstance(v, np.ndarray) and v.shape == first.shape for v in vals
+        ):
+            out[key] = np.stack(vals, axis=0)
+        else:
+            out[key] = vals
+    return out
+
+
+class BatchLoader:
+    """Iterate a dataset in shuffled fixed-size batches with prefetch.
+
+    Args:
+      dataset: indexable with __len__/__getitem__ returning sample dicts.
+      batch_size: samples per batch.
+      shuffle: reshuffle indices each epoch (seeded, reproducible).
+      drop_last: drop the trailing partial batch (the reference's training
+        loaders use drop_last=True).
+      num_workers: decode/augment threads.
+      prefetch: max batches in flight.
+      indices: optional explicit index subset (e.g. a host shard).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        seed: int = 0,
+        indices: Optional[np.ndarray] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.seed = seed
+        self.indices = (
+            np.asarray(indices) if indices is not None else np.arange(len(dataset))
+        )
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = self.indices.copy()
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[Dict]:
+        idx = self._epoch_indices()
+        self._epoch += 1
+        n_batches = len(idx) // self.batch_size if self.drop_last else -(
+            -len(idx) // self.batch_size
+        )
+        batches: List[np.ndarray] = [
+            idx[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, b))
+                    q.put(collate(samples))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

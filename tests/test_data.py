@@ -1,0 +1,104 @@
+"""Data pipeline tests on a synthetic VOC tree."""
+
+import numpy as np
+import pytest
+
+from irn_tpu.data import loader as loader_mod
+from irn_tpu.data import synthetic, transforms, voc12
+
+
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("voc")
+    synthetic.generate(str(root), n_images=6, size=80, seed=1)
+    return str(root)
+
+
+def test_generate_tree(voc_root):
+    names = voc12.load_img_name_list(voc_root + "/train.txt")
+    assert len(names) >= 1
+    labels = voc12.load_label_dict(voc_root + "/cls_labels.npy")
+    assert set(names) <= set(labels)
+    assert labels[names[0]].shape == (20,)
+
+
+def test_classification_dataset(voc_root):
+    labels = voc12.load_label_dict(voc_root + "/cls_labels.npy")
+    ds = voc12.ClassificationDataset(
+        voc_root + "/train.txt", voc_root, labels,
+        resize_long=(60, 90), hor_flip=True, crop_size=64,
+        crop_method="random",
+    )
+    s = ds[0]
+    assert s["img"].shape == (64, 64, 3)
+    assert s["img"].dtype == np.float32
+    assert s["label"].shape == (20,)
+
+
+def test_multiscale_dataset(voc_root):
+    labels = voc12.load_label_dict(voc_root + "/cls_labels.npy")
+    ds = voc12.MultiScaleDataset(
+        voc_root + "/train.txt", voc_root, labels, scales=(1.0, 0.5)
+    )
+    s = ds[0]
+    assert len(s["img"]) == 2
+    orig = s["img"][0]
+    assert orig.shape[0] == 2 and orig.shape[3] == 3  # (orig, flip) stack
+    # flip entry is the mirror of entry 0
+    np.testing.assert_allclose(orig[1], orig[0][:, ::-1])
+    half = s["img"][1]
+    assert half.shape[1] == int(round(s["size"][0] * 0.5))
+
+
+def test_segmentation_and_affinity_dataset(voc_root, tmp_path):
+    # use the synthetic semantic gt as the "ir label" dir
+    ds = voc12.AffinityDataset(
+        voc_root + "/train.txt",
+        label_dir=voc_root + "/SegmentationClass",
+        crop_size=64,
+        voc12_root=voc_root,
+        rescale=(0.5, 1.5),
+        hor_flip=True,
+        crop_method="random",
+    )
+    s = ds[0]
+    assert s["img"].shape == (64, 64, 3)
+    assert s["label"].shape == (64, 64)
+    assert s["reduced_label"].shape == (16, 16)
+    assert s["reduced_label"].dtype == np.int32
+
+
+def test_batch_loader(voc_root):
+    labels = voc12.load_label_dict(voc_root + "/cls_labels.npy")
+    ds = voc12.ClassificationDataset(
+        voc_root + "/train.txt", voc_root, labels, crop_size=64,
+        crop_method="top_left",
+    )
+    dl = loader_mod.BatchLoader(ds, batch_size=2, shuffle=True, drop_last=True,
+                                num_workers=2)
+    batches = list(dl)
+    assert len(batches) == len(ds) // 2
+    b = batches[0]
+    assert b["img"].shape == (2, 64, 64, 3)
+    assert b["label"].shape == (2, 20)
+    # deterministic reshuffling across epochs
+    dl2 = loader_mod.BatchLoader(ds, batch_size=2, shuffle=True, drop_last=True,
+                                 num_workers=2)
+    again = list(dl2)
+    np.testing.assert_allclose(batches[0]["img"], again[0]["img"])
+
+
+def test_shard_indices():
+    got = loader_mod.shard_indices(10, 1, 4)
+    np.testing.assert_array_equal(got, [1, 5, 9])
+
+
+def test_strided_sizes():
+    assert transforms.get_strided_size((500, 375), 4) == (125, 94)
+    assert transforms.get_strided_up_size((500, 375), 16) == (512, 384)
+
+
+def test_compress_range():
+    arr = np.array([[5, 5, 9], [0, 9, 5]])
+    out = transforms.compress_range(arr)
+    np.testing.assert_array_equal(out, [[1, 1, 2], [0, 2, 1]])
