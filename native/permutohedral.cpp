@@ -1,0 +1,223 @@
+#include "permutohedral.h"
+
+#include <cmath>
+#include <cstring>
+
+namespace irn {
+namespace {
+
+// Hash for short int16-key vectors stored contiguously.
+struct KeyHash {
+  const std::vector<int16_t>* keys;
+  int d;
+  std::size_t operator()(int32_t idx) const {
+    std::size_t h = 14695981039346656037ull;
+    const int16_t* k = keys->data() + static_cast<std::size_t>(idx) * d;
+    for (int i = 0; i < d; ++i) {
+      h ^= static_cast<std::size_t>(static_cast<uint16_t>(k[i]));
+      h *= 1099511628211ull;
+    }
+    return h;
+  }
+};
+
+struct KeyEq {
+  const std::vector<int16_t>* keys;
+  int d;
+  bool operator()(int32_t a, int32_t b) const {
+    const int16_t* ka = keys->data() + static_cast<std::size_t>(a) * d;
+    const int16_t* kb = keys->data() + static_cast<std::size_t>(b) * d;
+    return std::memcmp(ka, kb, sizeof(int16_t) * d) == 0;
+  }
+};
+
+}  // namespace
+
+Permutohedral::Permutohedral(const float* features, int n, int d)
+    : n_(n), d_(d) {
+  const int dp1 = d + 1;
+  offsets_.assign(static_cast<std::size_t>(n) * dp1, 0);
+  weights_.assign(static_cast<std::size_t>(n) * dp1, 0.f);
+
+  // Elevation scales: project feature space onto the hyperplane H_d with
+  // unit-variance blur along lattice axes.
+  std::vector<float> scale(d);
+  const float inv_std = std::sqrt(2.f / 3.f) * dp1;
+  for (int i = 0; i < d; ++i)
+    scale[i] = inv_std / std::sqrt(static_cast<float>((i + 1) * (i + 2)));
+
+  std::vector<int16_t> key_store;  // candidate keys, d entries each
+  key_store.reserve(static_cast<std::size_t>(n) * dp1 * d);
+
+  std::vector<float> elevated(dp1);
+  std::vector<float> rem0(dp1);
+  std::vector<int> rank(dp1);
+  std::vector<float> bary(dp1 + 1);
+
+  const float down = 1.f / dp1;
+
+  for (int p = 0; p < n; ++p) {
+    const float* f = features + static_cast<std::size_t>(p) * d;
+
+    // Elevate f into H_d (E^T f via the standard recurrence).
+    float sm = 0.f;
+    for (int j = d; j > 0; --j) {
+      const float cf = f[j - 1] * scale[j - 1];
+      elevated[j] = sm - j * cf;
+      sm += cf;
+    }
+    elevated[0] = sm;
+
+    // Nearest remainder-0 lattice point and differential ranks.
+    int sum = 0;
+    for (int i = 0; i <= d; ++i) {
+      const float v = elevated[i] * down;
+      float up = std::ceil(v) * dp1;
+      float dn = std::floor(v) * dp1;
+      rem0[i] = (up - elevated[i] < elevated[i] - dn) ? up : dn;
+      sum += static_cast<int>(rem0[i] * down);
+      rank[i] = 0;
+    }
+    for (int i = 0; i < d; ++i)
+      for (int j = i + 1; j <= d; ++j) {
+        if (elevated[i] - rem0[i] < elevated[j] - rem0[j])
+          ++rank[i];
+        else
+          ++rank[j];
+      }
+
+    // Fix points that round outside the canonical simplex.
+    for (int i = 0; i <= d; ++i) {
+      rank[i] += sum;
+      if (rank[i] < 0) {
+        rank[i] += dp1;
+        rem0[i] += dp1;
+      } else if (rank[i] > d) {
+        rank[i] -= dp1;
+        rem0[i] -= dp1;
+      }
+    }
+
+    // Barycentric coordinates inside the simplex.
+    std::fill(bary.begin(), bary.end(), 0.f);
+    for (int i = 0; i <= d; ++i) {
+      const float v = (elevated[i] - rem0[i]) * down;
+      bary[d - rank[i]] += v;
+      bary[d - rank[i] + 1] -= v;
+    }
+    bary[0] += 1.f + bary[dp1];
+
+    // Emit the dp1 simplex-vertex keys (first d coords; the last is implied
+    // by the zero-sum constraint).
+    for (int r = 0; r <= d; ++r) {
+      for (int i = 0; i < d; ++i) {
+        int16_t ki = static_cast<int16_t>(rem0[i]) + static_cast<int16_t>(r);
+        if (rank[i] > d - r) ki -= static_cast<int16_t>(dp1);
+        key_store.push_back(ki);
+      }
+      weights_[static_cast<std::size_t>(p) * dp1 + r] = bary[r];
+    }
+  }
+
+  // Deduplicate keys into lattice indices.
+  const int32_t n_candidates = n * dp1;
+  std::unordered_map<int32_t, int32_t, KeyHash, KeyEq> table(
+      static_cast<std::size_t>(n_candidates) * 2, KeyHash{&key_store, d},
+      KeyEq{&key_store, d});
+  std::vector<int32_t> unique_rows;
+  for (int32_t c = 0; c < n_candidates; ++c) {
+    auto it = table.find(c);
+    if (it == table.end()) {
+      const int32_t id = static_cast<int32_t>(unique_rows.size());
+      table.emplace(c, id);
+      unique_rows.push_back(c);
+      offsets_[c] = id;
+    } else {
+      offsets_[c] = it->second;
+    }
+  }
+  n_lattice_ = unique_rows.size();
+
+  // Precompute blur neighbors n1/n2 along each lattice axis j:
+  //   n1 = key + 1 (all dims) except key[j] -= d
+  //   n2 = key - 1 (all dims) except key[j] += d
+  blur_neighbors_.assign(dp1, std::vector<int32_t>(n_lattice_ * 2, -1));
+  std::vector<int16_t> probe(d);
+  // temporarily extend key_store with a probe slot for hashing lookups
+  key_store.resize(key_store.size() + d);
+  const int32_t probe_idx = n_candidates;
+  for (int j = 0; j <= d; ++j) {
+    auto& nb = blur_neighbors_[j];
+    for (std::size_t li = 0; li < n_lattice_; ++li) {
+      const int16_t* key =
+          key_store.data() + static_cast<std::size_t>(unique_rows[li]) * d;
+      // n1
+      for (int i = 0; i < d; ++i) probe[i] = key[i] + 1;
+      if (j < d) probe[j] = key[j] - d;
+      std::memcpy(key_store.data() + static_cast<std::size_t>(probe_idx) * d,
+                  probe.data(), sizeof(int16_t) * d);
+      auto it = table.find(probe_idx);
+      nb[li * 2] = (it != table.end()) ? it->second : -1;
+      // n2
+      for (int i = 0; i < d; ++i) probe[i] = key[i] - 1;
+      if (j < d) probe[j] = key[j] + d;
+      std::memcpy(key_store.data() + static_cast<std::size_t>(probe_idx) * d,
+                  probe.data(), sizeof(int16_t) * d);
+      it = table.find(probe_idx);
+      nb[li * 2 + 1] = (it != table.end()) ? it->second : -1;
+    }
+  }
+}
+
+void Permutohedral::Filter(const float* in, float* out, int vd) const {
+  const int dp1 = d_ + 1;
+  std::vector<float> a(n_lattice_ * vd, 0.f);
+  std::vector<float> b(n_lattice_ * vd, 0.f);
+
+  // Splat.
+  for (int p = 0; p < n_; ++p) {
+    const float* v = in + static_cast<std::size_t>(p) * vd;
+    for (int r = 0; r <= d_; ++r) {
+      const std::size_t o =
+          static_cast<std::size_t>(offsets_[p * dp1 + r]) * vd;
+      const float w = weights_[p * dp1 + r];
+      for (int c = 0; c < vd; ++c) a[o + c] += w * v[c];
+    }
+  }
+
+  // Blur along each lattice axis with [1, 2, 1].
+  float* cur = a.data();
+  float* nxt = b.data();
+  for (int j = 0; j <= d_; ++j) {
+    const auto& nb = blur_neighbors_[j];
+    for (std::size_t li = 0; li < n_lattice_; ++li) {
+      const int32_t l1 = nb[li * 2];
+      const int32_t l2 = nb[li * 2 + 1];
+      const float* self = cur + li * vd;
+      const float* v1 = l1 >= 0 ? cur + static_cast<std::size_t>(l1) * vd : nullptr;
+      const float* v2 = l2 >= 0 ? cur + static_cast<std::size_t>(l2) * vd : nullptr;
+      float* o = nxt + li * vd;
+      for (int c = 0; c < vd; ++c) {
+        float s = 2.f * self[c];
+        if (v1) s += v1[c];
+        if (v2) s += v2[c];
+        o[c] = s;
+      }
+    }
+    std::swap(cur, nxt);
+  }
+
+  // Slice.
+  for (int p = 0; p < n_; ++p) {
+    float* o = out + static_cast<std::size_t>(p) * vd;
+    for (int c = 0; c < vd; ++c) o[c] = 0.f;
+    for (int r = 0; r <= d_; ++r) {
+      const std::size_t off =
+          static_cast<std::size_t>(offsets_[p * dp1 + r]) * vd;
+      const float w = weights_[p * dp1 + r];
+      for (int c = 0; c < vd; ++c) o[c] += w * cur[off + c];
+    }
+  }
+}
+
+}  // namespace irn
