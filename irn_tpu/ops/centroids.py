@@ -1,0 +1,143 @@
+"""Displacement-field instance grouping.
+
+Reference semantics (step/make_ins_seg_labels.py:18-105):
+
+- every pixel advects a particle through the displacement field for N
+  iterations with bilinear sampling and border clipping
+  (``find_centroids_with_refinement``) — a 300-step NumPy loop per image on
+  CPU in the reference; here one jitted ``lax.fori_loop`` over the whole
+  grid on device;
+- pixels whose displacement magnitude is below a threshold form basins;
+  connected components of the basin mask label the instances; each pixel
+  joins the instance its converged centroid lands on
+  (``cluster_centroids``) — the CC labeling runs on host (cheap union-find);
+- each (instance x class) mask is re-split into connected components and
+  fragments below 1% of the image are zero-scored (``detect_instance``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from irn_tpu.data.transforms import compress_range
+from irn_tpu.ops import cc
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def find_centroids(dp: jax.Array, iterations: int = 300) -> jax.Array:
+    """Advect per-pixel particles through the displacement field.
+
+    Args:
+      dp: [2, H, W] displacement (dy, dx channels — reference layout).
+
+    Returns:
+      [2, H, W] int32 rounded converged (y, x) coordinates.
+    """
+    h, w = dp.shape[1], dp.shape[2]
+    dpy = dp[0]
+    dpx = dp[1]
+
+    cy0 = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    cx0 = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+    def sample(field: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
+        uy = jnp.ceil(y).astype(jnp.int32)
+        dy = jnp.floor(y).astype(jnp.int32)
+        yc = y - dy
+        ux = jnp.ceil(x).astype(jnp.int32)
+        dx = jnp.floor(x).astype(jnp.int32)
+        xc = x - dx
+        flat = field.reshape(-1)
+
+        def at(yy, xx):
+            return flat[(yy * w + xx).reshape(-1)].reshape(h, w)
+
+        return (
+            at(uy, ux) * yc * xc
+            + at(dy, ux) * (1 - yc) * xc
+            + at(uy, dx) * yc * (1 - xc)
+            + at(dy, dx) * (1 - yc) * (1 - xc)
+        )
+
+    def body(_, carry):
+        y, x = carry
+        ny = jnp.clip(y + sample(dpy, y, x), 0.0, h - 1.0)
+        nx = jnp.clip(x + sample(dpx, y, x), 0.0, w - 1.0)
+        return ny, nx
+
+    cy, cx = jax.lax.fori_loop(0, iterations, body, (cy0, cx0))
+    return jnp.stack(
+        [jnp.rint(cy).astype(jnp.int32), jnp.rint(cx).astype(jnp.int32)], axis=0
+    )
+
+
+def cluster_centroids(
+    centroids: np.ndarray, dp: np.ndarray, thres: float = 2.5
+) -> np.ndarray:
+    """[K, H, W] boolean one-hot instance masks (K includes the 0 bucket of
+    pixels whose centroid escaped every basin)."""
+    strength = np.sqrt(dp[0] ** 2 + dp[1] ** 2)
+    h, w = strength.shape
+    basin = (strength < thres).astype(np.uint8)
+    basin_labels, _ = cc.label_components(basin)
+    flat = basin_labels.reshape(-1)
+    centroid_flat = centroids[0].reshape(-1) * w + centroids[1].reshape(-1)
+    clusters = flat[centroid_flat].reshape(h, w)
+    cluster_map = compress_range(clusters + 1)
+    return cc.to_one_hot(cluster_map)
+
+
+def mask_scores_by_instance(
+    scores: np.ndarray, instance_masks: np.ndarray
+) -> np.ndarray:
+    """[K*C, H, W] per-(instance, class) masked score maps in the
+    reference's (class-major) interleaving: row k*... = scores[c] *
+    mask[k]? The reference broadcast is [C, 1, H, W] * [1, K, H, W]
+    -> [C, K, H, W] flattened C-major (separte_score_by_mask +
+    view(-1, ...) at make_ins_seg_labels.py:135)."""
+    c = scores.shape[0]
+    k = instance_masks.shape[0]
+    out = scores[:, None] * instance_masks[None].astype(scores.dtype)
+    return out.reshape(c * k, *scores.shape[1:])
+
+
+def detect_instance(
+    score_map: np.ndarray,
+    masks: np.ndarray,
+    class_ids: np.ndarray,
+    max_fragment_size: float = 0,
+) -> Dict[str, np.ndarray]:
+    """Split winning masks into components, zero-score small fragments.
+
+    Args mirror the reference (make_ins_seg_labels.py:82-105): score_map
+    [N, H, W], masks [N, H, W] bool, class_ids [N]."""
+    pred_score, pred_label, pred_mask = [], [], []
+    for score, mask, cls in zip(score_map, masks, class_ids):
+        if mask.sum() < 1:
+            continue
+        labels, k = cc.label_components(mask.astype(np.uint8))
+        for comp in range(1, k + 1):
+            seg = labels == comp
+            if seg.sum() < max_fragment_size:
+                pred_score.append(0.0)
+            else:
+                pred_score.append(float(np.max(score * seg)))
+            pred_label.append(int(cls))
+            pred_mask.append(seg)
+    if not pred_mask:
+        h, w = masks.shape[1:]
+        return {
+            "score": np.zeros((0,), np.float32),
+            "mask": np.zeros((0, h, w), bool),
+            "class": np.zeros((0,), np.int32),
+        }
+    return {
+        "score": np.asarray(pred_score, np.float32),
+        "mask": np.stack(pred_mask, 0),
+        "class": np.asarray(pred_label, np.int32),
+    }
