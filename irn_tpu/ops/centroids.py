@@ -76,6 +76,54 @@ def find_centroids(dp: jax.Array, iterations: int = 300) -> jax.Array:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def find_centroids_bounded(
+    dp: jax.Array, h_true: jax.Array, w_true: jax.Array, iterations: int = 300
+) -> jax.Array:
+    """Like :func:`find_centroids` but clips particles to a *dynamic* true
+    extent inside a fixed capped grid, reproducing the reference's
+    exact-size border clipping (make_ins_seg_labels.py:47-49) under a
+    single compilation."""
+    h, w = dp.shape[1], dp.shape[2]
+    dpy = dp[0]
+    dpx = dp[1]
+    ymax = (h_true - 1).astype(jnp.float32)
+    xmax = (w_true - 1).astype(jnp.float32)
+
+    cy0 = jnp.minimum(jax.lax.broadcasted_iota(jnp.float32, (h, w), 0), ymax)
+    cx0 = jnp.minimum(jax.lax.broadcasted_iota(jnp.float32, (h, w), 1), xmax)
+
+    def sample(field: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
+        uy = jnp.ceil(y).astype(jnp.int32)
+        dy = jnp.floor(y).astype(jnp.int32)
+        yc = y - dy
+        ux = jnp.ceil(x).astype(jnp.int32)
+        dx = jnp.floor(x).astype(jnp.int32)
+        xc = x - dx
+        flat = field.reshape(-1)
+
+        def at(yy, xx):
+            return flat[(yy * w + xx).reshape(-1)].reshape(h, w)
+
+        return (
+            at(uy, ux) * yc * xc
+            + at(dy, ux) * (1 - yc) * xc
+            + at(uy, dx) * yc * (1 - xc)
+            + at(dy, dx) * (1 - yc) * (1 - xc)
+        )
+
+    def body(_, carry):
+        y, x = carry
+        ny = jnp.clip(y + sample(dpy, y, x), 0.0, ymax)
+        nx = jnp.clip(x + sample(dpx, y, x), 0.0, xmax)
+        return ny, nx
+
+    cy, cx = jax.lax.fori_loop(0, iterations, body, (cy0, cx0))
+    return jnp.stack(
+        [jnp.rint(cy).astype(jnp.int32), jnp.rint(cx).astype(jnp.int32)], axis=0
+    )
+
+
 def cluster_centroids(
     centroids: np.ndarray, dp: np.ndarray, thres: float = 2.5
 ) -> np.ndarray:

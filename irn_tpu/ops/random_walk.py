@@ -197,7 +197,9 @@ def upsample_and_decode(
     Matches step/make_sem_seg_labels.py:44-47 with dynamic true extents:
     the grid-valid region is (h4, w4) stride-4 cells; the pixel-valid region
     is (h0, w0). Returns (labels [4H, 4W] int32 where 0 = background and
-    k >= 1 means seed channel k-1; max_score scalar).
+    k >= 1 means seed channel k-1; rw_up [C, 4H, 4W] max-normalized
+    upsampled scores — the per-instance score source for detection,
+    make_ins_seg_labels.py:137-149; max_score scalar).
     Out-of-extent pixels decode to background.
     """
     c, ch, cw = rw_capped.shape
@@ -216,4 +218,4 @@ def upsample_and_decode(
     )
     labels = jnp.argmax(stacked, axis=0).astype(jnp.int32)
     labels = jnp.where(pix > 0, labels, 0)
-    return labels, max_score
+    return labels, rw_up, max_score

@@ -34,6 +34,13 @@ def make_mesh(
     return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
 
 
+def mesh_for_batch(batch_size: int, n_requested: Optional[int] = None) -> Mesh:
+    """Largest data mesh (<= requested devices) that divides the batch."""
+    n_avail = n_requested or len(jax.devices())
+    n = max(d for d in range(1, n_avail + 1) if batch_size % d == 0)
+    return make_mesh(n)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

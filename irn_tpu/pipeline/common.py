@@ -1,0 +1,60 @@
+"""Shared pipeline-stage plumbing: model init, checkpoint IO, bucketing."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from irn_tpu.pipeline.config import Config
+from irn_tpu.utils import checkpoint as ckpt
+from irn_tpu.utils import weights as W
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def load_backbone_variables(cfg: Config) -> Optional[Dict]:
+    """Pretrained ResNet-50 variables from cfg.pretrained_backbone.
+
+    Accepts a torch ``.pth`` state dict (ported on the fly) or an ``.npz``
+    /pickle of already-converted variables. Returns None when unset."""
+    path = cfg.pretrained_backbone
+    if not path:
+        return None
+    if path.endswith(".pth"):
+        sd = W.load_torch_state_dict(path)
+        return W.convert_resnet50(sd)
+    return ckpt.load_checkpoint(path)
+
+
+def init_model_variables(model, cfg: Config, example: np.ndarray,
+                         backbone_key: str = "resnet50", **init_kw) -> Dict:
+    """He-init the model, then graft pretrained backbone variables in."""
+    variables = model.init(jax.random.PRNGKey(0), example, **init_kw)
+    variables = jax.tree.map(np.asarray, variables)  # host, mutable copies
+    pretrained = load_backbone_variables(cfg)
+    if pretrained is not None:
+        variables["params"][backbone_key] = pretrained["params"]
+        variables["stats"][backbone_key] = pretrained["stats"]
+    else:
+        print(
+            "WARNING: no pretrained_backbone configured - the backbone is "
+            "randomly initialized; pseudo-label quality will not match the "
+            "reference (which always starts from ImageNet weights, "
+            "net/resnet50.py:115)."
+        )
+    return variables
+
+
+def outputs_exist(out_dir: str, names, suffix: str) -> bool:
+    return all(os.path.exists(os.path.join(out_dir, n + suffix)) for n in names)
+
+
+def pad_pair_to(img_pair: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Zero-pad a [2, H, W, 3] (orig, flip) stack bottom/right to (ph, pw)."""
+    _, h, w, _ = img_pair.shape
+    return np.pad(img_pair, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))

@@ -1,0 +1,110 @@
+"""Typed pipeline configuration.
+
+Mirrors the reference's flat argparse namespace (run_sample.py:8-74) with
+real types and per-stage booleans. Divergences from the reference
+(documented bugs not replicated): step flags are genuine booleans — passing
+``--train_cam_pass true`` enables the stage instead of silently disabling it
+(the reference's untyped flags + ``is True`` checks, run_sample.py:64-72,
+85); numeric flags are typed so ``--beta 10`` doesn't arrive as a string.
+
+TPU-specific additions: ``rw_matmul_dtype`` (random-walk MXU operand
+precision), ``rw_grid_cap`` (fixed stride-4 grid for one-compilation
+propagation), ``model_dtype``, ``pretrained_backbone`` (path to a torch
+resnet50 checkpoint or a converted ``.npz``), ``pad_multiple`` (inference
+shape bucketing), and ``compile_cache_dir``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class Config:
+    # environment
+    voc12_root: str = ""
+    num_workers: int = 4
+
+    # dataset
+    train_list: str = "voc12/train_aug.txt"
+    val_list: str = "voc12/val.txt"
+    infer_list: str = "voc12/train.txt"
+    cls_labels_path: str = ""  # default: <voc12_root>/cls_labels.npy
+    eval_set: str = "train"
+
+    # CAM
+    cam_crop_size: int = 512
+    cam_batch_size: int = 16
+    cam_num_epoches: int = 5
+    cam_learning_rate: float = 0.1
+    cam_weight_decay: float = 1e-4
+    cam_eval_thres: float = 0.15
+    cam_scales: Tuple[float, ...] = (1.0, 0.5, 1.5, 2.0)
+
+    # IR seeds
+    conf_fg_thres: float = 0.30
+    conf_bg_thres: float = 0.05
+    crf_iters: int = 10
+    crf_gt_prob: float = 0.7
+
+    # IRNet
+    irn_crop_size: int = 512
+    irn_batch_size: int = 32
+    irn_num_epoches: int = 3
+    irn_learning_rate: float = 0.1
+    irn_weight_decay: float = 1e-4
+    path_radius: int = 10
+
+    # random walk
+    beta: int = 10
+    exp_times: int = 8
+    sem_seg_bg_thres: float = 0.25
+    ins_seg_bg_thres: float = 0.25
+    rw_radius: int = 5
+
+    # output paths
+    log_name: str = "sample_train_eval"
+    session_dir: str = "sess"
+    cam_weights_name: str = "sess/res50_cam.ckpt"
+    irn_weights_name: str = "sess/res50_irn.ckpt"
+    cam_out_dir: str = "result/cam"
+    ir_label_out_dir: str = "result/ir_label"
+    sem_seg_out_dir: str = "result/sem_seg"
+    ins_seg_out_dir: str = "result/ins_seg"
+    coco_ann_path: str = "result/voc2012_train_custom.json"
+
+    # TPU-native knobs
+    pretrained_backbone: str = ""
+    model_dtype: str = "float32"          # backbone compute dtype
+    rw_matmul_dtype: str = "float32"      # 'float32' | 'bfloat16'
+    rw_grid_cap: int = 128                # stride-4 cells (=512px images)
+    ins_seed_cap: int = 64                # max (instance x class) seed rows
+    pad_multiple: int = 64                # inference shape bucketing
+    compile_cache_dir: str = ""
+    overwrite: bool = False               # rerun stages over existing outputs
+    mesh_data: int = 0                    # 0 = all devices
+
+    # stage switches
+    train_cam_pass: bool = False
+    make_cam_pass: bool = False
+    eval_cam_pass: bool = False
+    cam_to_ir_label_pass: bool = False
+    train_irn_pass: bool = False
+    make_sem_seg_pass: bool = False
+    eval_sem_seg_pass: bool = False
+    make_ins_seg_pass: bool = False
+    eval_ins_seg_pass: bool = False
+    make_cocoann_pass: bool = False
+
+    def resolve(self) -> "Config":
+        if not self.cls_labels_path:
+            import os
+
+            self.cls_labels_path = os.path.join(self.voc12_root, "cls_labels.npy")
+        return self
+
+    def rw_matmul_jnp_dtype(self):
+        import jax.numpy as jnp
+
+        return {"float32": None, "bfloat16": jnp.bfloat16}[self.rw_matmul_dtype]

@@ -1,0 +1,246 @@
+"""CAM stages: train_cam, make_cam, eval_cam, cam_to_ir_label.
+
+Stage contracts follow step/train_cam.py, step/make_cam.py,
+step/eval_cam.py, step/cam_to_ir_label.py: same hyper-parameters, same
+on-disk artifacts (per-image ``result/cam/<id>.npy`` dicts with
+{keys, cam, high_res}; ``result/ir_label/<id>.png`` seed maps), so either
+framework's downstream stages can consume them.
+
+TPU redesign: multi-scale inference pads each scaled image to a
+``pad_multiple`` bucket so a handful of XLA programs serve the whole
+dataset (vs exact-shape per-image graphs); flip pairs ride the batch dim;
+training is batch-sharded over the mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict
+
+import imageio.v2 as imageio
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from irn_tpu.data import loader as loader_mod
+from irn_tpu.data import transforms as T
+from irn_tpu.data import voc12
+from irn_tpu.models.cam import CAMNet, fuse_flip, multilabel_soft_margin_loss
+from irn_tpu.ops import crf
+from irn_tpu.ops.resize import resize_bilinear_chw
+from irn_tpu.parallel import mesh as mesh_mod
+from irn_tpu.pipeline import common
+from irn_tpu.pipeline.config import Config
+from irn_tpu.train import cam_train, optim
+from irn_tpu.train.state import create_train_state
+from irn_tpu.utils import checkpoint as ckpt
+from irn_tpu.utils.logging import AverageMeter, Timer
+
+
+def _label_dict(cfg: Config) -> Dict[str, np.ndarray]:
+    if os.path.exists(cfg.cls_labels_path):
+        return voc12.load_label_dict(cfg.cls_labels_path)
+    names = set(voc12.load_img_name_list(cfg.train_list))
+    names |= set(voc12.load_img_name_list(cfg.val_list))
+    names |= set(voc12.load_img_name_list(cfg.infer_list))
+    print("building cls labels from VOC XML annotations ...")
+    return voc12.make_label_dict(sorted(names), cfg.voc12_root)
+
+
+def train_cam(cfg: Config) -> None:
+    labels = _label_dict(cfg)
+    train_ds = voc12.ClassificationDataset(
+        cfg.train_list, cfg.voc12_root, labels,
+        resize_long=(320, 640), hor_flip=True,
+        crop_size=cfg.cam_crop_size, crop_method="random",
+    )
+    val_ds = voc12.ClassificationDataset(
+        cfg.val_list, cfg.voc12_root, labels, crop_size=cfg.cam_crop_size
+    )
+    train_dl = loader_mod.BatchLoader(
+        train_ds, cfg.cam_batch_size, shuffle=True, drop_last=True,
+        num_workers=cfg.num_workers,
+    )
+    val_dl = loader_mod.BatchLoader(
+        val_ds, cfg.cam_batch_size, shuffle=False, drop_last=True,
+        num_workers=cfg.num_workers,
+    )
+    max_step = (len(train_ds) // cfg.cam_batch_size) * cfg.cam_num_epoches
+
+    model = CAMNet(dtype=jnp.dtype(cfg.model_dtype))
+    example = np.zeros((1, cfg.cam_crop_size, cfg.cam_crop_size, 3), np.float32)
+    variables = common.init_model_variables(model, cfg, example, train=True)
+    # weight decay 0: the reference's PolyOptimizer never applies its
+    # weight_decay (it lands in torch SGD's momentum slot, torchutils.py:10)
+    tx = optim.poly_sgd(
+        cfg.cam_learning_rate, max_step=max_step, power=0.9,
+        weight_decay=0.0, mult_fn=optim.cam_lr_mult,
+    )
+    state = create_train_state(variables, tx)
+
+    mesh = mesh_mod.mesh_for_batch(cfg.cam_batch_size, cfg.mesh_data or None)
+    state = mesh_mod.replicate(state, mesh)
+    step_fn = cam_train.make_train_step(model, tx)
+    eval_fn = cam_train.make_eval_step(model)
+
+    meter = AverageMeter()
+    timer = Timer()
+    for ep in range(cfg.cam_num_epoches):
+        print(f"Epoch {ep + 1}/{cfg.cam_num_epoches}")
+        for it, batch in enumerate(train_dl):
+            sb = mesh_mod.shard_batch(
+                {"img": batch["img"], "label": np.stack(batch["label"])}, mesh
+            )
+            state, metrics = step_fn(state, sb["img"], sb["label"])
+            meter.add({"loss1": float(metrics["loss"])})
+            gstep = int(state.step)
+            if (gstep - 1) % 100 == 0:
+                timer.update_progress(gstep / max_step)
+                print(
+                    f"step:{gstep - 1:5d}/{max_step:5d}",
+                    f"loss:{meter.pop('loss1'):.4f}",
+                    f"imps:{(it + 1) * cfg.cam_batch_size / timer.get_stage_elapsed():.1f}",
+                    f"etc:{timer.str_estimated_complete()}",
+                    flush=True,
+                )
+        # validation (train_cam.py:14-36)
+        val_meter = AverageMeter()
+        for batch in val_dl:
+            loss = eval_fn(state, batch["img"], np.stack(batch["label"]))
+            val_meter.add({"loss": float(loss)})
+        print(f"validate loss: {val_meter.get('loss'):.4f}")
+        timer.reset_stage()
+
+    ckpt.save_checkpoint(
+        cfg.cam_weights_name,
+        {"params": state.params, "stats": state.stats},
+    )
+    print(f"saved {cfg.cam_weights_name}")
+
+
+def make_cam(cfg: Config) -> None:
+    labels = _label_dict(cfg)
+    ds = voc12.MultiScaleDataset(
+        cfg.infer_list, cfg.voc12_root, labels, scales=cfg.cam_scales
+    )
+    model = CAMNet(dtype=jnp.dtype(cfg.model_dtype))
+    variables = ckpt.load_checkpoint(cfg.cam_weights_name)
+    os.makedirs(cfg.cam_out_dir, exist_ok=True)
+
+    @functools.lru_cache(maxsize=None)
+    def infer_fn(ph: int, pw: int):
+        @jax.jit
+        def run(pair):
+            return model.apply(variables, pair, method=model.cam)
+        return run
+
+    n = len(ds)
+    for i in range(n):
+        sample = ds[i]
+        name = sample["name"]
+        out_path = os.path.join(cfg.cam_out_dir, name + ".npy")
+        if not cfg.overwrite and os.path.exists(out_path):
+            continue
+        size = sample["size"]
+        strided = T.get_strided_size(size, 4)
+        strided_up = T.get_strided_up_size(size, 16)
+
+        strided_sum = None
+        highres_sum = None
+        for pair in sample["img"]:  # [2, H_s, W_s, 3] per scale
+            _, sh, sw, _ = pair.shape
+            ph = common.round_up(sh, cfg.pad_multiple)
+            pw = common.round_up(sw, cfg.pad_multiple)
+            maps = infer_fn(ph, pw)(common.pad_pair_to(pair, ph, pw))
+            vh = -(-sh // 16)
+            vw = -(-sw // 16)
+            fused = fuse_flip(np.asarray(maps)[:, :vh, :vw, :])  # [vh, vw, 20]
+            fused = jnp.transpose(jnp.asarray(fused), (2, 0, 1))  # [20, vh, vw]
+            s = resize_bilinear_chw(fused, strided)
+            hr = resize_bilinear_chw(fused, strided_up)[:, : size[0], : size[1]]
+            strided_sum = s if strided_sum is None else strided_sum + s
+            highres_sum = hr if highres_sum is None else highres_sum + hr
+
+        valid_cat = np.nonzero(np.asarray(sample["label"]))[0]
+        strided_cam = np.asarray(strided_sum)[valid_cat]
+        strided_cam /= strided_cam.max(axis=(1, 2), keepdims=True) + 1e-5
+        highres_cam = np.asarray(highres_sum)[valid_cat]
+        highres_cam /= highres_cam.max(axis=(1, 2), keepdims=True) + 1e-5
+
+        np.save(
+            out_path,
+            {"keys": valid_cat, "cam": strided_cam, "high_res": highres_cam},
+        )
+        if i % max(n // 20, 1) == 0:
+            print(f"make_cam {i}/{n}", flush=True)
+
+
+def eval_cam(cfg: Config):
+    from irn_tpu.eval import semseg
+
+    names = voc12.load_img_name_list(cfg.infer_list)
+    preds = []
+    gts = []
+    for name in names:
+        cam_dict = np.load(
+            os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True
+        ).item()
+        labels = semseg.decode_cam_to_labels(
+            cam_dict["high_res"], np.asarray(cam_dict["keys"]), cfg.cam_eval_thres
+        )
+        preds.append(labels)
+        gts.append(
+            np.asarray(
+                imageio.imread(
+                    os.path.join(cfg.voc12_root, "SegmentationClass", name + ".png")
+                )
+            )
+        )
+    conf = semseg.confusion_matrix(preds, gts)
+    scores = semseg.scores_from_confusion(conf)
+    print({"iou": scores["iou"], "miou": scores["miou"]})
+    return scores
+
+
+def cam_to_ir_label(cfg: Config) -> None:
+    ds = voc12.ImageDataset(
+        cfg.infer_list, cfg.voc12_root, img_normal=False
+    )
+    os.makedirs(cfg.ir_label_out_dir, exist_ok=True)
+    n = len(ds)
+    for i in range(n):
+        sample = ds[i]
+        name = sample["name"]
+        out_path = os.path.join(cfg.ir_label_out_dir, name + ".png")
+        if not cfg.overwrite and os.path.exists(out_path):
+            continue
+        img = sample["img"].astype(np.uint8)
+        cam_dict = np.load(
+            os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True
+        ).item()
+        cams = cam_dict["high_res"]
+        keys = np.pad(np.asarray(cam_dict["keys"]) + 1, (1, 0), mode="constant")
+
+        # fg/bg confident maps (cam_to_ir_label.py:26-34)
+        fg_map = np.argmax(
+            np.pad(cams, ((1, 0), (0, 0), (0, 0)), constant_values=cfg.conf_fg_thres),
+            axis=0,
+        ).astype(np.int32)
+        bg_map = np.argmax(
+            np.pad(cams, ((1, 0), (0, 0), (0, 0)), constant_values=cfg.conf_bg_thres),
+            axis=0,
+        ).astype(np.int32)
+        fg_pred, bg_pred = crf.crf_inference_label_pair(
+            img, fg_map, bg_map, t=cfg.crf_iters, n_labels=keys.shape[0],
+            gt_prob=cfg.crf_gt_prob,
+        )
+        fg_conf = keys[fg_pred]
+        bg_conf = keys[bg_pred]
+
+        conf_map = fg_conf.copy()
+        conf_map[fg_conf == 0] = 255
+        conf_map[bg_conf + fg_conf == 0] = 0
+        imageio.imwrite(out_path, conf_map.astype(np.uint8))
+        if i % max(n // 20, 1) == 0:
+            print(f"cam_to_ir_label {i}/{n}", flush=True)

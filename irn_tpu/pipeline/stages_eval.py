@@ -1,0 +1,98 @@
+"""Evaluation + export stages: eval_sem_seg, eval_ins_seg, make_cocoann.
+
+Contracts follow step/eval_sem_seg.py, step/eval_ins_seg.py,
+step/make_cocoann.py, with ground truth read directly from the VOC devkit's
+SegmentationClass / SegmentationObject folders (the reference goes through
+chainercv's dataset wrappers)."""
+
+from __future__ import annotations
+
+import os
+
+import imageio.v2 as imageio
+import numpy as np
+
+from irn_tpu.data import voc12
+from irn_tpu.eval import coco, insseg, semseg
+from irn_tpu.pipeline.config import Config
+
+
+def _gt_ids(cfg: Config):
+    return voc12.load_img_name_list(cfg.infer_list)
+
+
+def eval_sem_seg(cfg: Config):
+    names = _gt_ids(cfg)
+    preds = []
+    gts = []
+    for name in names:
+        pred = np.asarray(
+            imageio.imread(os.path.join(cfg.sem_seg_out_dir, name + ".png"))
+        ).astype(np.int64)
+        pred[pred == 255] = 0  # eval_sem_seg.py:15
+        preds.append(pred)
+        gts.append(
+            np.asarray(
+                imageio.imread(
+                    os.path.join(cfg.voc12_root, "SegmentationClass", name + ".png")
+                )
+            )
+        )
+    conf = semseg.confusion_matrix(preds, gts)[:21, :21]
+    scores = semseg.scores_from_confusion(conf)
+    print(scores["fp"][0], scores["fn"][0])
+    print(np.nanmean(scores["fp"][1:]), np.nanmean(scores["fn"][1:]))
+    print({"iou": scores["iou"], "miou": scores["miou"]})
+    return scores
+
+
+def eval_ins_seg(cfg: Config):
+    names = _gt_ids(cfg)
+    pred_masks, pred_classes, pred_scores = [], [], []
+    gt_masks, gt_labels = [], []
+    for name in names:
+        ins = np.load(
+            os.path.join(cfg.ins_seg_out_dir, name + ".npy"), allow_pickle=True
+        ).item()
+        pred_masks.append(np.asarray(ins["mask"], bool))
+        pred_classes.append(np.asarray(ins["class"]))
+        pred_scores.append(np.asarray(ins["score"]))
+        obj = np.asarray(
+            imageio.imread(
+                os.path.join(cfg.voc12_root, "SegmentationObject", name + ".png")
+            )
+        )
+        cls = np.asarray(
+            imageio.imread(
+                os.path.join(cfg.voc12_root, "SegmentationClass", name + ".png")
+            )
+        )
+        masks, labels = insseg.load_voc_instance_gt(obj, cls)
+        gt_masks.append(masks)
+        gt_labels.append(labels)
+    result = insseg.eval_instance_segmentation_voc(
+        pred_masks, pred_classes, pred_scores, gt_masks, gt_labels,
+        iou_thresh=0.5,
+    )
+    print("0.5iou:", result)
+    return result
+
+
+def make_cocoann(cfg: Config):
+    names = _gt_ids(cfg)
+    records = []
+    for name in names:
+        ins = np.load(
+            os.path.join(cfg.ins_seg_out_dir, name + ".npy"), allow_pickle=True
+        ).item()
+        if "size" not in ins:
+            ins["size"] = ins["mask"].shape[1:] if len(ins["mask"]) else (0, 0)
+        ins["name"] = name
+        records.append(ins)
+    os.makedirs(os.path.dirname(cfg.coco_ann_path) or ".", exist_ok=True)
+    out = coco.export_instances(records, cfg.coco_ann_path)
+    print(
+        f"wrote {cfg.coco_ann_path}: {len(out['images'])} images, "
+        f"{len(out['annotations'])} annotations"
+    )
+    return out

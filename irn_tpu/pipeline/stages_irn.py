@@ -1,0 +1,310 @@
+"""IRN stages: train_irn, make_sem_seg_labels, make_ins_seg_labels.
+
+Stage contracts follow step/train_irn.py, step/make_sem_seg_labels.py,
+step/make_ins_seg_labels.py (artifacts: ``result/sem_seg/<id>.png``,
+``result/ins_seg/<id>.npy`` dicts {score, mask, class}).
+
+TPU redesign highlights:
+
+- EdgeDisplacement inference, the dense random-walk (transition build + 8
+  MXU squarings), seed propagation, and label decode are each ONE fixed-
+  shape XLA program reused for every image; true extents flow in as dynamic
+  scalars (vs the reference rebuilding PathIndex and a fresh (HW)^2 matrix
+  per image size and round-tripping through CPU sparse tensors).
+- Flip fusion over the padded buffer uses a dynamic roll, so the padded
+  (orig, flip) pair shares the program too.
+- Instance seeds are padded to a fixed row cap so the (instances x classes)
+  random walk is also one program.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Tuple
+
+import imageio.v2 as imageio
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from irn_tpu.data import loader as loader_mod
+from irn_tpu.data import voc12
+from irn_tpu.models.irn import IRNet
+from irn_tpu.ops import cc
+from irn_tpu.ops import centroids as cent_mod
+from irn_tpu.ops import random_walk as rw_mod
+from irn_tpu.parallel import mesh as mesh_mod
+from irn_tpu.pipeline import common
+from irn_tpu.pipeline.config import Config
+from irn_tpu.train import irn_train, optim
+from irn_tpu.train.state import create_train_state
+from irn_tpu.utils import checkpoint as ckpt
+from irn_tpu.utils.logging import AverageMeter, Timer
+
+
+def train_irn(cfg: Config) -> None:
+    ds = voc12.AffinityDataset(
+        cfg.train_list, label_dir=cfg.ir_label_out_dir,
+        crop_size=cfg.irn_crop_size, voc12_root=cfg.voc12_root,
+        rescale=(0.5, 1.5), hor_flip=True, crop_method="random",
+    )
+    dl = loader_mod.BatchLoader(
+        ds, cfg.irn_batch_size, shuffle=True, drop_last=True,
+        num_workers=cfg.num_workers,
+    )
+    max_step = (len(ds) // cfg.irn_batch_size) * cfg.irn_num_epoches
+
+    model = IRNet(dtype=jnp.dtype(cfg.model_dtype))
+    example = np.zeros((1, cfg.irn_crop_size, cfg.irn_crop_size, 3), np.float32)
+    variables = common.init_model_variables(model, cfg, example)
+    grid = irn_train.build_train_geometry(cfg.irn_crop_size, cfg.path_radius)
+    tx = optim.poly_sgd(
+        cfg.irn_learning_rate, max_step=max_step, power=0.9,
+        weight_decay=0.0, mult_fn=optim.irn_lr_mult,
+    )
+    state = create_train_state(variables, tx)
+    mesh = mesh_mod.mesh_for_batch(cfg.irn_batch_size, cfg.mesh_data or None)
+    state = mesh_mod.replicate(state, mesh)
+    step_fn = irn_train.make_train_step(model, tx, grid)
+
+    meter = AverageMeter()
+    timer = Timer()
+    for ep in range(cfg.irn_num_epoches):
+        print(f"Epoch {ep + 1}/{cfg.irn_num_epoches}")
+        for it, batch in enumerate(dl):
+            sb = mesh_mod.shard_batch(
+                {"img": batch["img"], "red": batch["reduced_label"]}, mesh
+            )
+            state, metrics = step_fn(state, sb["img"], sb["red"])
+            meter.add({k: float(v) for k, v in metrics.items()})
+            gstep = int(state.step)
+            if (gstep - 1) % 50 == 0:
+                timer.update_progress(gstep / max_step)
+                print(
+                    f"step:{gstep - 1:5d}/{max_step:5d}",
+                    "loss:%.4f %.4f %.4f %.4f" % (
+                        meter.pop("loss_pos_aff"), meter.pop("loss_neg_aff"),
+                        meter.pop("loss_dp_fg"), meter.pop("loss_dp_bg"),
+                    ),
+                    f"imps:{(it + 1) * cfg.irn_batch_size / timer.get_stage_elapsed():.1f}",
+                    f"etc:{timer.str_estimated_complete()}",
+                    flush=True,
+                )
+        timer.reset_stage()
+
+    # displacement mean calibration (train_irn.py:87-107)
+    infer_ds = voc12.ImageDataset(
+        cfg.infer_list, cfg.voc12_root, crop_size=cfg.irn_crop_size,
+        crop_method="top_left",
+    )
+    infer_dl = loader_mod.BatchLoader(
+        infer_ds, cfg.irn_batch_size, shuffle=False, drop_last=False,
+        num_workers=cfg.num_workers,
+    )
+    dp_step = irn_train.make_dp_mean_step(model)
+    print("Analyzing displacements mean ... ", end="", flush=True)
+    means = [dp_step(state, b["img"]) for b in infer_dl]
+    state = irn_train.calibrate_mean_shift(state, means)
+    print("done.")
+
+    ckpt.save_checkpoint(
+        cfg.irn_weights_name, {"params": state.params, "stats": state.stats}
+    )
+    print(f"saved {cfg.irn_weights_name}")
+
+
+# ---------------------------------------------------------------------------
+# Shared fixed-shape inference programs
+# ---------------------------------------------------------------------------
+
+class EdgeDisplacementRunner:
+    """One-compilation EdgeDisplacement over the padded crop buffer.
+
+    forward(pair, h4, w4) -> (edge [cap, cap] with 1.0 beyond extent,
+    dp [2, cap, cap] (dy, dx) with 0 beyond extent). Matches
+    resnet50_irn.py:223-234: sigmoid of the flip-averaged logit, unflipped
+    displacement, mean-shift applied.
+    """
+
+    def __init__(self, cfg: Config, variables: Dict):
+        self.model = IRNet(dtype=jnp.dtype(cfg.model_dtype))
+        self.variables = variables
+        self.cap = cfg.rw_grid_cap
+
+        @jax.jit
+        def run(pair: jax.Array, h4: jax.Array, w4: jax.Array):
+            edge_logit, dp = self.model.apply(
+                self.variables, pair, apply_mean_shift=True
+            )
+            cap = self.cap
+            e = edge_logit[..., 0]  # [2, cap, cap]
+            flipped = e[1][:, ::-1]
+            # align the flipped valid region to columns [0, w4)
+            flipped = jnp.roll(flipped, -(cap - w4), axis=1)
+            edge = jax.nn.sigmoid(e[0] / 2.0 + flipped / 2.0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 1)
+            valid = (rows < h4) & (cols < w4)
+            edge = jnp.where(valid, edge, 1.0)  # hard boundary beyond extent
+            d = jnp.where(valid[None], jnp.transpose(dp[0], (2, 0, 1)), 0.0)
+            return edge, d
+
+        self._run = run
+
+    def __call__(self, pair_np: np.ndarray, size: Tuple[int, int]):
+        """pair_np: [2, H, W, 3] (orig, flip); size: true (H, W)."""
+        cap_px = self.cap * 4
+        _, h, w, _ = pair_np.shape
+        assert h <= cap_px and w <= cap_px, (h, w, cap_px)
+        pair = common.pad_pair_to(pair_np, cap_px, cap_px)
+        h4 = (size[0] - 1) // 4 + 1
+        w4 = (size[1] - 1) // 4 + 1
+        edge, dp = self._run(pair, jnp.int32(h4), jnp.int32(w4))
+        return edge, dp, (h4, w4)
+
+
+class RandomWalkRunner:
+    """Fixed-shape transition build + seed propagation + decode."""
+
+    def __init__(self, cfg: Config, n_seed_rows: int):
+        self.geom = rw_mod.build_geometry(
+            cfg.rw_grid_cap, cfg.rw_grid_cap, radius=cfg.rw_radius
+        )
+        self.beta = cfg.beta
+        self.exp_times = cfg.exp_times
+        self.n_rows = n_seed_rows
+        mm_dtype = cfg.rw_matmul_jnp_dtype()
+        geom = self.geom
+
+        @jax.jit
+        def run(cam: jax.Array, edge: jax.Array, h4, w4, h0, w0, bg_thres):
+            rw = rw_mod.propagate(
+                geom, cam, edge, beta=self.beta, exp_times=self.exp_times,
+                matmul_dtype=mm_dtype,
+            )
+            labels, rw_up, _ = rw_mod.upsample_and_decode(
+                rw, h4, w4, h0, w0, bg_thres
+            )
+            return labels, rw_up
+
+        self._run = run
+
+    def __call__(self, cam_rows: np.ndarray, edge: jax.Array,
+                 h4: int, w4: int, size: Tuple[int, int], bg_thres: float):
+        """cam_rows: [K, h4, w4] seeds (K <= n_rows). Returns
+        (labels [4cap, 4cap] in 0..n_rows, rw_up [n_rows, 4cap, 4cap])."""
+        cap = self.geom.cap[0]
+        k = cam_rows.shape[0]
+        assert k <= self.n_rows, (k, self.n_rows)
+        cam = np.zeros((self.n_rows, cap, cap), np.float32)
+        cam[:k, :h4, :w4] = cam_rows
+        labels, rw_up = self._run(
+            jnp.asarray(cam), edge, jnp.int32(h4), jnp.int32(w4),
+            jnp.int32(size[0]), jnp.int32(size[1]), jnp.float32(bg_thres),
+        )
+        return labels, rw_up
+
+
+def _load_irn(cfg: Config):
+    variables = ckpt.load_checkpoint(cfg.irn_weights_name)
+    return EdgeDisplacementRunner(cfg, variables)
+
+
+def _msf_single_scale(cfg: Config):
+    labels = {}
+    if os.path.exists(cfg.cls_labels_path):
+        labels = voc12.load_label_dict(cfg.cls_labels_path)
+    else:
+        names = voc12.load_img_name_list(cfg.infer_list)
+        labels = voc12.make_label_dict(names, cfg.voc12_root)
+    return voc12.MultiScaleDataset(
+        cfg.infer_list, cfg.voc12_root, labels, scales=(1.0,)
+    )
+
+
+def make_sem_seg_labels(cfg: Config) -> None:
+    runner = _load_irn(cfg)
+    walker = RandomWalkRunner(cfg, n_seed_rows=20)
+    ds = _msf_single_scale(cfg)
+    os.makedirs(cfg.sem_seg_out_dir, exist_ok=True)
+
+    n = len(ds)
+    for i in range(n):
+        sample = ds[i]
+        name = sample["name"]
+        out_path = os.path.join(cfg.sem_seg_out_dir, name + ".png")
+        if not cfg.overwrite and os.path.exists(out_path):
+            continue
+        size = sample["size"]
+        edge, _, (h4, w4) = runner(sample["img"][0], size)
+
+        cam_dict = np.load(
+            os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True
+        ).item()
+        cams = np.asarray(cam_dict["cam"], np.float32)  # [K, h4, w4]
+        keys = np.pad(np.asarray(cam_dict["keys"]) + 1, (1, 0), mode="constant")
+
+        labels, _ = walker(cams, edge, h4, w4, size, cfg.sem_seg_bg_thres)
+        pred = np.asarray(labels)[: size[0], : size[1]]
+        pred = keys[pred]
+        imageio.imwrite(out_path, pred.astype(np.uint8))
+        if i % max(n // 20, 1) == 0:
+            print(f"make_sem_seg {i}/{n}", flush=True)
+
+
+def make_ins_seg_labels(cfg: Config) -> None:
+    runner = _load_irn(cfg)
+    walker = RandomWalkRunner(cfg, n_seed_rows=cfg.ins_seed_cap)
+    ds = _msf_single_scale(cfg)
+    os.makedirs(cfg.ins_seg_out_dir, exist_ok=True)
+
+    n = len(ds)
+    for i in range(n):
+        sample = ds[i]
+        name = sample["name"]
+        out_path = os.path.join(cfg.ins_seg_out_dir, name + ".npy")
+        if not cfg.overwrite and os.path.exists(out_path):
+            continue
+        size = sample["size"]
+        edge, dp, (h4, w4) = runner(sample["img"][0], size)
+
+        cam_dict = np.load(
+            os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True
+        ).item()
+        cams = np.asarray(cam_dict["cam"], np.float32)
+        keys = np.asarray(cam_dict["keys"])
+
+        cent = np.asarray(
+            cent_mod.find_centroids_bounded(
+                dp, jnp.int32(h4), jnp.int32(w4), iterations=300
+            )
+        )
+        dp_np = np.asarray(dp)[:, :h4, :w4]
+        instance_map = cent_mod.cluster_centroids(cent[:, :h4, :w4], dp_np)
+        num_instances = instance_map.shape[0]
+
+        seeds = cent_mod.mask_scores_by_instance(cams, instance_map)
+        if seeds.shape[0] > cfg.ins_seed_cap:
+            print(
+                f"WARNING {name}: {seeds.shape[0]} instance seeds exceed "
+                f"ins_seed_cap={cfg.ins_seed_cap}; truncating"
+            )
+            seeds = seeds[: cfg.ins_seed_cap]
+        labels, rw_up = walker(seeds, edge, h4, w4, size, cfg.ins_seg_bg_thres)
+
+        labels_np = np.asarray(labels)[: size[0], : size[1]]
+        n_rows = seeds.shape[0]
+        instance_shape = cc.to_one_hot(labels_np, maximum_val=n_rows + 1)[1:]
+        instance_class_id = np.repeat(keys, num_instances)[:n_rows]
+
+        rw_up_np = np.asarray(rw_up)[:n_rows, : size[0], : size[1]]
+
+        detected = cent_mod.detect_instance(
+            rw_up_np, instance_shape, instance_class_id,
+            max_fragment_size=size[0] * size[1] * 0.01,
+        )
+        detected["size"] = (int(size[0]), int(size[1]))
+        np.save(out_path, detected)
+        if i % max(n // 20, 1) == 0:
+            print(f"make_ins_seg {i}/{n}", flush=True)

@@ -135,6 +135,6 @@ def test_decode_matches_torch(rng):
 
     rw_c = np.zeros((c, cap, cap), np.float32)
     rw_c[:, :h4, :w4] = rw
-    labels, _ = rw_mod.upsample_and_decode(rw_c, h4, w4, h0, w0, bg_thres)
+    labels, _, _ = rw_mod.upsample_and_decode(rw_c, h4, w4, h0, w0, bg_thres)
     got = np.asarray(labels)[:h0, :w0]
     np.testing.assert_array_equal(got, want)
