@@ -1,0 +1,84 @@
+"""Benchmark: the pipeline's hot path on the current accelerator.
+
+Measures steady-state throughput of the full random-walk label-propagation
+program at production scale — the dominant cost of the reference's
+label-making stages (SURVEY 2.5): boundary map -> dense 18k^2 affinity ->
+A^10 -> column normalize -> 8 MXU squarings (T^256, ~100 TFLOP) -> seed
+propagation -> x4 decode, one fused XLA program per image.
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+
+Baseline: the torch reference executes the same math as ~5 s/image on a
+V100-class GPU (8 dense fp32 16k^3 matmuls at ~14 TFLOPS effective, plus a
+GPU->CPU sparse densify round trip and a per-size PathIndex rebuild,
+misc/indexing.py:112-139); vs_baseline = value / 0.2 img/s. No numbers are
+published in the reference repo (BASELINE.md), so this is a documented
+engineering estimate, deliberately generous to the reference.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from irn_tpu.ops import random_walk as rw_mod
+
+    cap = 128
+    geom = rw_mod.build_geometry(cap, cap, radius=5)
+    rng = np.random.default_rng(0)
+
+    n_images = 8
+    edges = [
+        jnp.asarray(rng.random((cap, cap)).astype(np.float32) * 0.9)
+        for _ in range(n_images)
+    ]
+    cams = [
+        jnp.asarray(rng.random((20, cap, cap)).astype(np.float32))
+        for _ in range(n_images)
+    ]
+
+    on_tpu = jax.default_backend() == "tpu"
+    mm_dtype = jnp.bfloat16 if on_tpu else None
+    exp_times = 8 if on_tpu else 2  # CPU smoke mode
+
+    @jax.jit
+    def run(cam, edge):
+        rw = rw_mod.propagate(
+            geom, cam, edge, beta=10, exp_times=exp_times, matmul_dtype=mm_dtype
+        )
+        labels, _, _ = rw_mod.upsample_and_decode(
+            rw, cap, cap, cap * 4, cap * 4, 0.25
+        )
+        return labels.sum()
+
+    # warm up / compile
+    float(run(cams[0], edges[0]))
+
+    t0 = time.time()
+    for i in range(n_images):
+        out = run(cams[i], edges[i])
+    float(out)  # fetch forces completion through the device queue
+    dt = (time.time() - t0) / n_images
+
+    value = 1.0 / dt
+    baseline_img_s = 0.2  # reference GPU estimate; see module docstring
+    print(
+        json.dumps(
+            {
+                "metric": "random-walk label propagation (T^256 @ 18k^2, fused)",
+                "value": round(value, 3),
+                "unit": "img/s",
+                "vs_baseline": round(value / baseline_img_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

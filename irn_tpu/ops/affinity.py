@@ -28,6 +28,86 @@ import numpy as np
 from irn_tpu.ops.paths import GridPathIndex, PathSet
 
 
+def shifted_window(x: jax.Array, dy: int, dx: int, rf: int,
+                   ch: int, cw: int) -> jax.Array:
+    """Static slice of the (dy, dx)-shifted valid window of [..., H, W]."""
+    return x[..., dy : dy + ch, rf + dx : rf + dx + cw]
+
+
+def path_affinity(edge2d: jax.Array, path_set: PathSet) -> jax.Array:
+    """Path affinities from a 2-D edge map — gather-free formulation.
+
+    Equivalent to :func:`edge_to_affinity` but built from statically-shifted
+    window slices reduced with a short ``lax.scan``, so the compiled program
+    carries only a tiny [n_pairs, L_max] cell table instead of multi-million
+    element gather-index literals (which cost minutes of XLA compile time
+    and serialize on TPU).
+
+    Args:
+      edge2d: [..., H, W] edge strength in [0, 1].
+
+    Returns:
+      [..., n_pairs, P] affinity, P = (H - rf) * (W - 2rf), pair order
+      matching the concatenated length groups.
+    """
+    rf = path_set.radius_floor
+    h, w = edge2d.shape[-2], edge2d.shape[-1]
+    ch, cw = h - rf, w - 2 * rf
+    cells_u, table = paths_unique_cells(path_set)
+
+    # [U, ..., ch, cw] stack of unique shifted windows (U ~ 2 r^2)
+    stack = jnp.stack(
+        [shifted_window(edge2d, int(dy), int(dx), rf, ch, cw)
+         for dy, dx in cells_u],
+        axis=0,
+    )
+    table_j = jnp.asarray(table)  # [n_pairs, L_max], tiny
+
+    def step(carry, idx):
+        return jnp.maximum(carry, stack[idx]), None
+
+    init = stack[table_j[:, 0]]  # [n_pairs, ..., ch, cw]
+    maxed, _ = jax.lax.scan(step, init, table_j[:, 1:].T)
+    aff = 1.0 - maxed  # [n_pairs, ..., ch, cw]
+    aff = jnp.moveaxis(aff, 0, -3) if edge2d.ndim > 2 else aff
+    return aff.reshape(edge2d.shape[:-2] + (path_set.n_pairs, ch * cw))
+
+
+def paths_unique_cells(path_set: PathSet):
+    from irn_tpu.ops.paths import unique_cells
+
+    return unique_cells(path_set)
+
+
+def label_pair_views(label2d: jax.Array, path_set: PathSet):
+    """(src [..., 1, P], dst [..., n_pairs, P]) label views via slices."""
+    rf = path_set.radius_floor
+    h, w = label2d.shape[-2], label2d.shape[-1]
+    ch, cw = h - rf, w - 2 * rf
+    src = shifted_window(label2d, 0, 0, rf, ch, cw)
+    src = src.reshape(label2d.shape[:-2] + (1, ch * cw))
+    dst = jnp.stack(
+        [shifted_window(label2d, int(dy), int(dx), rf, ch, cw)
+         for dy, dx in path_set.dst_offsets],
+        axis=-3,
+    )
+    return src, dst.reshape(label2d.shape[:-2] + (path_set.n_pairs, ch * cw))
+
+
+def affinity_labels_2d(
+    label2d: jax.Array, path_set: PathSet, n_classes_with_bg: int = 21
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Gather-free :func:`affinity_labels` over [..., H, W] int labels."""
+    lab_src, lab_dst = label_pair_views(label2d, path_set)
+    valid = (lab_src < n_classes_with_bg) & (lab_dst < n_classes_with_bg)
+    equal = lab_src == lab_dst
+    pos = equal & valid
+    bg_pos = (pos & (lab_src == 0)).astype(jnp.float32)
+    fg_pos = (pos & (lab_src > 0)).astype(jnp.float32)
+    neg = (~equal) & valid
+    return bg_pos, fg_pos, neg.astype(jnp.float32)
+
+
 def edge_to_affinity(edge_flat: jax.Array, grid_index: GridPathIndex) -> jax.Array:
     """Path affinities from a flattened edge map.
 
@@ -121,9 +201,8 @@ def affinity_displacement_loss_maps(
       edge_logit: [B, H, W, 1] boundary logits at stride 4.
       dp: [B, H, W, 2] displacement field.
     """
-    b = edge_logit.shape[0]
-    edge = jax.nn.sigmoid(edge_logit[..., 0]).reshape(b, -1)
-    aff = edge_to_affinity(edge, grid_index)
+    edge = jax.nn.sigmoid(edge_logit[..., 0])  # [B, H, W]
+    aff = path_affinity(edge, grid_index.path_set)
     pos_aff = -jnp.log(aff + 1e-5)
     neg_aff = -jnp.log(1.0 + 1e-5 - aff)
 

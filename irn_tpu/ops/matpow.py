@@ -45,6 +45,16 @@ def matmul_square(t: jax.Array, matmul_dtype: Optional[jnp.dtype] = None) -> jax
 def matrix_power_squarings(
     t: jax.Array, exp_times: int, matmul_dtype: Optional[jnp.dtype] = None
 ) -> jax.Array:
-    for _ in range(exp_times):
-        t = matmul_square(t, matmul_dtype=matmul_dtype)
-    return t
+    if exp_times <= 0:
+        return t
+    if exp_times == 1:
+        return matmul_square(t, matmul_dtype=matmul_dtype)
+    # fori_loop keeps ONE squaring body in the program instead of e unrolled
+    # copies — compile time of the fused label-propagation program drops by
+    # an order of magnitude at identical steady-state throughput.
+    return jax.lax.fori_loop(
+        0,
+        exp_times,
+        lambda _, x: matmul_square(x, matmul_dtype=matmul_dtype),
+        t,
+    )

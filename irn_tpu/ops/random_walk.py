@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from irn_tpu.ops import paths
-from irn_tpu.ops.affinity import edge_to_affinity
+from irn_tpu.ops.affinity import path_affinity
 from irn_tpu.ops.matpow import matrix_power_squarings
 from irn_tpu.ops.resize import resize_bilinear_chw
 
@@ -93,7 +93,16 @@ def _extent_mask(h: jax.Array, w: jax.Array, shape: Tuple[int, int]) -> jax.Arra
 
 
 def dense_affinity(geom: RandomWalkGeometry, edge_capped: jax.Array) -> jax.Array:
-    """Scatter path affinities into the dense symmetric matrix.
+    """Build the dense symmetric affinity matrix — scatter-free.
+
+    Every pair direction contributes one *diagonal band*: A[i, i + doff] =
+    aff_k(i) with doff = dy * W_padded + dx > 0. In a row-major (N, N+1)
+    buffer the band positions i * (N+1) + doff are exactly column ``doff``,
+    so the whole matrix assembles from n_pairs dense column writes + a
+    reshape — no scatter (TPU scatters serialize) and no giant index
+    literals (which cost minutes of XLA compile time). Destination indices
+    satisfy i + doff < n_vertices for every valid source, so the reshape
+    never wraps a band across rows.
 
     Args:
       edge_capped: [cap_h, cap_w] edge map; cells beyond the true extent
@@ -104,25 +113,30 @@ def dense_affinity(geom: RandomWalkGeometry, edge_capped: jax.Array) -> jax.Arra
     """
     r = geom.radius
     ph, pw = geom.padded
-    edge_padded = jnp.ones((ph, pw), edge_capped.dtype)
-    edge_padded = edge_padded.at[: geom.cap[0], r : r + geom.cap[1]].set(edge_capped)
+    n = geom.n_pad
+    ps = geom.grid_index.path_set
+    rf = ps.radius_floor
+    ch, cw = ph - rf, pw - 2 * rf
 
-    aff = edge_to_affinity(edge_padded.reshape(-1), geom.grid_index)  # [n_pairs, P]
+    edge_padded = jnp.ones((ph, pw), jnp.float32)
+    edge_padded = edge_padded.at[: geom.cap[0], r : r + geom.cap[1]].set(
+        edge_capped.astype(jnp.float32)
+    )
 
-    gi = geom.grid_index
-    rows = np.broadcast_to(
-        gi.src_indices[None, :], gi.dst_indices.shape
-    ).reshape(-1)
-    cols = gi.dst_indices.reshape(-1)
-    rows_j = jnp.asarray(rows, jnp.int32)
-    cols_j = jnp.asarray(cols, jnp.int32)
-    vals = aff.reshape(-1)
+    aff = path_affinity(edge_padded, ps)  # [n_pairs, ch*cw]
+    aff = aff.reshape(ps.n_pairs, ch, cw)
 
-    a = jnp.zeros((geom.n_pad, geom.n_pad), jnp.float32)
-    a = a.at[rows_j, cols_j].set(vals)
-    a = a.at[cols_j, rows_j].set(vals)
-    diag = jnp.arange(geom.n_pad, dtype=jnp.int32)
-    a = a.at[diag, diag].set(1.0)
+    band_buf = jnp.zeros((n, n + 1), jnp.float32)
+    for k in range(ps.n_pairs):
+        dy, dx = int(ps.dst_offsets[k, 0]), int(ps.dst_offsets[k, 1])
+        doff = dy * pw + dx
+        v = jnp.zeros((ph, pw), jnp.float32)
+        v = v.at[:ch, rf : rf + cw].set(aff[k])
+        v = jnp.pad(v.reshape(-1), (0, n - ph * pw))
+        band_buf = band_buf.at[:, doff].set(v)
+
+    a = band_buf.reshape(-1)[: n * n].reshape(n, n)
+    a = a + a.T + jnp.eye(n, dtype=jnp.float32)
     return a
 
 

@@ -21,7 +21,7 @@ from irn_tpu.models.irn import IRNet
 from irn_tpu.ops import paths
 from irn_tpu.ops.affinity import (
     affinity_displacement_loss_maps,
-    affinity_labels,
+    affinity_labels_2d,
     irn_total_loss,
 )
 from irn_tpu.train.state import TrainState
@@ -34,17 +34,13 @@ def build_train_geometry(crop_size: int = 512, radius: int = 10) -> paths.GridPa
 
 def make_train_step(model: IRNet, tx: optax.GradientTransformation,
                     grid_index: paths.GridPathIndex):
-    src_idx = jnp.asarray(grid_index.src_indices)
-    dst_idx = jnp.asarray(grid_index.dst_indices)
+    path_set = grid_index.path_set
 
     @jax.jit
     def train_step(state: TrainState, images: jax.Array,
                    reduced_labels: jax.Array
                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        b = reduced_labels.shape[0]
-        bg_pos, fg_pos, neg = affinity_labels(
-            reduced_labels.reshape(b, -1), src_idx, dst_idx
-        )
+        bg_pos, fg_pos, neg = affinity_labels_2d(reduced_labels, path_set)
 
         def loss_fn(params):
             edge_logit, dp = model.apply(
