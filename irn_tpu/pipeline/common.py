@@ -50,6 +50,15 @@ def init_model_variables(model, cfg: Config, example: np.ndarray,
     return variables
 
 
+def host_shard_range(n: int):
+    """Strided shard of range(n) over JAX processes — multi-host DCN fan-out
+    for the per-image make stages (replaces the reference's
+    multiprocessing.spawn + split_dataset, SURVEY 2.7)."""
+    import jax
+
+    return range(jax.process_index(), n, jax.process_count())
+
+
 def outputs_exist(out_dir: str, names, suffix: str) -> bool:
     return all(os.path.exists(os.path.join(out_dir, n + suffix)) for n in names)
 

@@ -84,6 +84,8 @@ class Config:
     compile_cache_dir: str = ""
     overwrite: bool = False               # rerun stages over existing outputs
     mesh_data: int = 0                    # 0 = all devices
+    profile_dir: str = ""                 # capture jax.profiler traces
+    resume: bool = True                   # resume training from epoch ckpts
 
     # stage switches
     train_cam_pass: bool = False

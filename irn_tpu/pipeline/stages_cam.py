@@ -79,20 +79,36 @@ def train_cam(cfg: Config) -> None:
     )
     state = create_train_state(variables, tx)
 
+    # mid-training resume (upgrade over the reference's end-only save)
+    train_ckpt_path = cfg.cam_weights_name + ".train"
+    start_epoch = 0
+    if cfg.resume and os.path.exists(train_ckpt_path):
+        saved = ckpt.load_checkpoint(train_ckpt_path)
+        state = state.replace(
+            params=saved["params"], stats=saved["stats"],
+            opt_state=saved["opt_state"], step=jnp.asarray(saved["step"]),
+        )
+        start_epoch = int(saved["epoch"])
+        print(f"resumed {train_ckpt_path} at epoch {start_epoch}")
+
     mesh = mesh_mod.mesh_for_batch(cfg.cam_batch_size, cfg.mesh_data or None)
     state = mesh_mod.replicate(state, mesh)
     step_fn = cam_train.make_train_step(model, tx)
     eval_fn = cam_train.make_eval_step(model)
 
+    from irn_tpu.utils.profiling import StageProfiler
+
+    prof = StageProfiler(cfg.profile_dir, "train_cam")
     meter = AverageMeter()
     timer = Timer()
-    for ep in range(cfg.cam_num_epoches):
+    for ep in range(start_epoch, cfg.cam_num_epoches):
         print(f"Epoch {ep + 1}/{cfg.cam_num_epoches}")
         for it, batch in enumerate(train_dl):
             sb = mesh_mod.shard_batch(
                 {"img": batch["img"], "label": np.stack(batch["label"])}, mesh
             )
             state, metrics = step_fn(state, sb["img"], sb["label"])
+            prof.tick()
             meter.add({"loss1": float(metrics["loss"])})
             gstep = int(state.step)
             if (gstep - 1) % 100 == 0:
@@ -111,7 +127,14 @@ def train_cam(cfg: Config) -> None:
             val_meter.add({"loss": float(loss)})
         print(f"validate loss: {val_meter.get('loss'):.4f}")
         timer.reset_stage()
+        ckpt.save_checkpoint(
+            train_ckpt_path,
+            {"params": state.params, "stats": state.stats,
+             "opt_state": state.opt_state, "step": state.step,
+             "epoch": ep + 1},
+        )
 
+    prof.close()
     ckpt.save_checkpoint(
         cfg.cam_weights_name,
         {"params": state.params, "stats": state.stats},
@@ -136,7 +159,7 @@ def make_cam(cfg: Config) -> None:
         return run
 
     n = len(ds)
-    for i in range(n):
+    for i in common.host_shard_range(n):
         sample = ds[i]
         name = sample["name"]
         out_path = os.path.join(cfg.cam_out_dir, name + ".npy")
@@ -209,7 +232,7 @@ def cam_to_ir_label(cfg: Config) -> None:
     )
     os.makedirs(cfg.ir_label_out_dir, exist_ok=True)
     n = len(ds)
-    for i in range(n):
+    for i in common.host_shard_range(n):
         sample = ds[i]
         name = sample["name"]
         out_path = os.path.join(cfg.ir_label_out_dir, name + ".png")

@@ -64,19 +64,35 @@ def train_irn(cfg: Config) -> None:
         weight_decay=0.0, mult_fn=optim.irn_lr_mult,
     )
     state = create_train_state(variables, tx)
+
+    train_ckpt_path = cfg.irn_weights_name + ".train"
+    start_epoch = 0
+    if cfg.resume and os.path.exists(train_ckpt_path):
+        saved = ckpt.load_checkpoint(train_ckpt_path)
+        state = state.replace(
+            params=saved["params"], stats=saved["stats"],
+            opt_state=saved["opt_state"], step=jnp.asarray(saved["step"]),
+        )
+        start_epoch = int(saved["epoch"])
+        print(f"resumed {train_ckpt_path} at epoch {start_epoch}")
+
     mesh = mesh_mod.mesh_for_batch(cfg.irn_batch_size, cfg.mesh_data or None)
     state = mesh_mod.replicate(state, mesh)
     step_fn = irn_train.make_train_step(model, tx, grid)
 
+    from irn_tpu.utils.profiling import StageProfiler
+
+    prof = StageProfiler(cfg.profile_dir, "train_irn")
     meter = AverageMeter()
     timer = Timer()
-    for ep in range(cfg.irn_num_epoches):
+    for ep in range(start_epoch, cfg.irn_num_epoches):
         print(f"Epoch {ep + 1}/{cfg.irn_num_epoches}")
         for it, batch in enumerate(dl):
             sb = mesh_mod.shard_batch(
                 {"img": batch["img"], "red": batch["reduced_label"]}, mesh
             )
             state, metrics = step_fn(state, sb["img"], sb["red"])
+            prof.tick()
             meter.add({k: float(v) for k, v in metrics.items()})
             gstep = int(state.step)
             if (gstep - 1) % 50 == 0:
@@ -92,6 +108,13 @@ def train_irn(cfg: Config) -> None:
                     flush=True,
                 )
         timer.reset_stage()
+        ckpt.save_checkpoint(
+            train_ckpt_path,
+            {"params": state.params, "stats": state.stats,
+             "opt_state": state.opt_state, "step": state.step,
+             "epoch": ep + 1},
+        )
+    prof.close()
 
     # displacement mean calibration (train_irn.py:87-107)
     infer_ds = voc12.ImageDataset(
@@ -230,7 +253,7 @@ def make_sem_seg_labels(cfg: Config) -> None:
     os.makedirs(cfg.sem_seg_out_dir, exist_ok=True)
 
     n = len(ds)
-    for i in range(n):
+    for i in common.host_shard_range(n):
         sample = ds[i]
         name = sample["name"]
         out_path = os.path.join(cfg.sem_seg_out_dir, name + ".png")
@@ -260,7 +283,7 @@ def make_ins_seg_labels(cfg: Config) -> None:
     os.makedirs(cfg.ins_seg_out_dir, exist_ok=True)
 
     n = len(ds)
-    for i in range(n):
+    for i in common.host_shard_range(n):
         sample = ds[i]
         name = sample["name"]
         out_path = os.path.join(cfg.ins_seg_out_dir, name + ".npy")

@@ -76,6 +76,58 @@ def poly_sgd(
     return optax.chain(*parts)
 
 
+def sgdr_schedule(base_lr: float, steps_per_epoch: int, epoch_start: int = 1,
+                  restart_mult: int = 2):
+    """Cosine-annealing warm-restart LR (the reference's SGDROptimizer,
+    torchutils.py:33-63 — present in its API surface though unused by the
+    pipeline): cycle length starts at ``steps_per_epoch * epoch_start`` and
+    multiplies by ``restart_mult`` per restart; peak LR decays as
+    1/(restarts + 1)."""
+    import numpy as np
+
+    c0 = steps_per_epoch * epoch_start
+    m = restart_mult
+    # exact integer cycle boundaries, capped inside int32 (x64 is disabled
+    # by default, so boundaries must not overflow when traced)
+    limit = 2**30
+    starts_l = [0]
+    lengths_l = [c0]
+    while starts_l[-1] + lengths_l[-1] < limit and len(starts_l) < 64:
+        starts_l.append(starts_l[-1] + lengths_l[-1])
+        lengths_l.append(lengths_l[-1] * m)
+    starts = np.asarray(starts_l, np.int32)
+    lengths = np.asarray(lengths_l, np.int32)
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        step = jnp.asarray(step)
+        k = jnp.sum(step >= jnp.asarray(starts)) - 1
+        start = jnp.asarray(starts)[k]
+        length = jnp.asarray(lengths)[k]
+        local = step - start
+        mult = (1 + jnp.cos(jnp.pi * local / length)) / 2
+        return base_lr * mult / (k + 1)
+
+    return schedule
+
+
+def sgdr(base_lr: float, steps_per_epoch: int, epoch_start: int = 1,
+         restart_mult: int = 2, weight_decay: float = 0.0,
+         mult_fn: Optional[Callable[[tuple], float]] = None
+         ) -> optax.GradientTransformation:
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    if mult_fn is not None:
+        parts.append(scale_by_path(mult_fn))
+    parts.append(optax.scale_by_schedule(
+        sgdr_schedule(base_lr, steps_per_epoch, epoch_start, restart_mult)
+    ))
+    parts.append(optax.scale(-1.0))
+    return optax.chain(*parts)
+
+
 # --- param-group policies -------------------------------------------------
 
 CAM_FROZEN_PREFIXES = ("conv1", "bn1", "layer1_", "layer2_")
