@@ -126,18 +126,38 @@ def dense_affinity(geom: RandomWalkGeometry, edge_capped: jax.Array) -> jax.Arra
     aff = path_affinity(edge_padded, ps)  # [n_pairs, ch*cw]
     aff = aff.reshape(ps.n_pairs, ch, cw)
 
-    band_buf = jnp.zeros((n, n + 1), jnp.float32)
+    # All band offsets fit in a narrow strip: upper bands (A[i, i+d] =
+    # aff(i)) live in columns d of the (n, n+1) view; lower bands
+    # (A[i, i-d] = aff(i-d)) live in columns n+1-d with values shifted down
+    # one row. Assemble two narrow buffers and pad the middle with zeros in
+    # one shot — no transpose, no updates on the full 1.4 GB buffer.
+    max_doff = int(ps.dst_offsets[:, 0].max()) * pw + int(
+        ps.dst_offsets[:, 1].max()
+    )
+    strip = _round_up(max_doff + 1, 128)
+    assert 2 * strip < n + 1, (strip, n)
+    left = jnp.zeros((n, strip), jnp.float32)
+    right = jnp.zeros((n, strip), jnp.float32)
+    left = left.at[:, 0].set(1.0)  # column 0 == the identity diagonal
+
     for k in range(ps.n_pairs):
         dy, dx = int(ps.dst_offsets[k, 0]), int(ps.dst_offsets[k, 1])
         doff = dy * pw + dx
         v = jnp.zeros((ph, pw), jnp.float32)
         v = v.at[:ch, rf : rf + cw].set(aff[k])
         v = jnp.pad(v.reshape(-1), (0, n - ph * pw))
-        band_buf = band_buf.at[:, doff].set(v)
+        left = left.at[:, doff].set(v)
+        # Lower band A[j, j-doff] = aff(j-doff) sits at view position
+        # (row j-1, column n+1-doff): the column is v shifted down by
+        # doff-1 rows. n+1-doff maps to local strip index strip-doff.
+        right = right.at[:, strip - doff].set(
+            jnp.pad(v, (doff - 1, 0))[:n]
+        )
 
-    a = band_buf.reshape(-1)[: n * n].reshape(n, n)
-    a = a + a.T + jnp.eye(n, dtype=jnp.float32)
-    return a
+    a = jnp.concatenate(
+        [left, jnp.zeros((n, n + 1 - 2 * strip), jnp.float32), right], axis=1
+    )
+    return a.reshape(-1)[: n * n].reshape(n, n)
 
 
 def transition_matrix(

@@ -188,42 +188,65 @@ class EdgeDisplacementRunner:
 
 
 class RandomWalkRunner:
-    """Fixed-shape transition build + seed propagation + decode."""
+    """Bucketed fixed-shape transition build + seed propagation + decode.
+
+    The transition-power cost is cubic in the grid's vertex count, so
+    instead of one worst-case cap the runner keeps a small family of
+    bucketed geometries (grid dims rounded up to ``bucket`` cells) and
+    lazily compiles one program per bucket actually seen. A typical
+    landscape VOC image (stride-4 grid 94x125) runs on the (96, 128)
+    bucket at ~47% of the worst-case FLOPs."""
+
+    BUCKET = 32
 
     def __init__(self, cfg: Config, n_seed_rows: int):
-        self.geom = rw_mod.build_geometry(
-            cfg.rw_grid_cap, cfg.rw_grid_cap, radius=cfg.rw_radius
-        )
+        self.cap = cfg.rw_grid_cap
+        self.radius = cfg.rw_radius
         self.beta = cfg.beta
         self.exp_times = cfg.exp_times
         self.n_rows = n_seed_rows
-        mm_dtype = cfg.rw_matmul_jnp_dtype()
-        geom = self.geom
+        self.mm_dtype = cfg.rw_matmul_jnp_dtype()
+        self._programs = {}
+
+    def _program(self, cap_h: int, cap_w: int):
+        key = (cap_h, cap_w)
+        if key in self._programs:
+            return self._programs[key]
+        geom = rw_mod.build_geometry(cap_h, cap_w, radius=self.radius)
 
         @jax.jit
         def run(cam: jax.Array, edge: jax.Array, h4, w4, h0, w0, bg_thres):
             rw = rw_mod.propagate(
                 geom, cam, edge, beta=self.beta, exp_times=self.exp_times,
-                matmul_dtype=mm_dtype,
+                matmul_dtype=self.mm_dtype,
             )
             labels, rw_up, _ = rw_mod.upsample_and_decode(
                 rw, h4, w4, h0, w0, bg_thres
             )
             return labels, rw_up
 
-        self._run = run
+        self._programs[key] = run
+        return run
+
+    def _bucket(self, x: int) -> int:
+        b = ((x + self.BUCKET - 1) // self.BUCKET) * self.BUCKET
+        return min(b, self.cap)
 
     def __call__(self, cam_rows: np.ndarray, edge: jax.Array,
                  h4: int, w4: int, size: Tuple[int, int], bg_thres: float):
-        """cam_rows: [K, h4, w4] seeds (K <= n_rows). Returns
-        (labels [4cap, 4cap] in 0..n_rows, rw_up [n_rows, 4cap, 4cap])."""
-        cap = self.geom.cap[0]
+        """cam_rows: [K, h4, w4] seeds (K <= n_rows); edge [cap, cap] with
+        1.0 beyond extent. Returns (labels [4ch, 4cw] in 0..n_rows,
+        rw_up [n_rows, 4ch, 4cw]) at the selected bucket size."""
+        ch = self._bucket(h4)
+        cw = self._bucket(w4)
         k = cam_rows.shape[0]
         assert k <= self.n_rows, (k, self.n_rows)
-        cam = np.zeros((self.n_rows, cap, cap), np.float32)
+        assert h4 <= ch and w4 <= cw, (h4, w4, ch, cw)
+        cam = np.zeros((self.n_rows, ch, cw), np.float32)
         cam[:k, :h4, :w4] = cam_rows
-        labels, rw_up = self._run(
-            jnp.asarray(cam), edge, jnp.int32(h4), jnp.int32(w4),
+        edge_b = jnp.asarray(edge)[:ch, :cw]
+        labels, rw_up = self._program(ch, cw)(
+            jnp.asarray(cam), edge_b, jnp.int32(h4), jnp.int32(w4),
             jnp.int32(size[0]), jnp.int32(size[1]), jnp.float32(bg_thres),
         )
         return labels, rw_up
