@@ -30,3 +30,57 @@ def resize_bilinear_chw(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """Resize [..., C, H, W] (channel-first) to spatial ``size``."""
     shape = x.shape[:-2] + (size[0], size[1])
     return jax.image.resize(x, shape, method="linear", antialias=False)
+
+
+def _axis_weights(out_cap: int, src_cap: int, out_true, src_true):
+    """Half-pixel sample positions for a dynamic-extent resize along one
+    axis: output pixels [0, out_true) sample source [0, src_true) with
+    border clamping (torch align_corners=False semantics); both live in
+    fixed-capacity buffers."""
+    j = jnp.arange(out_cap, dtype=jnp.float32)
+    scale = src_true.astype(jnp.float32) / out_true.astype(jnp.float32)
+    x = jnp.clip((j + 0.5) * scale - 0.5, 0.0, src_true.astype(jnp.float32) - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, src_true.astype(jnp.int32) - 1)
+    frac = x - x0
+    x0 = jnp.clip(x0, 0, src_cap - 1)
+    x1 = jnp.clip(x1, 0, src_cap - 1)
+    return x0, x1, frac
+
+
+def resize_bilinear_dynamic(
+    src: jax.Array,
+    src_true,
+    out_true,
+    out_cap: Tuple[int, int],
+) -> jax.Array:
+    """Bilinear resize with *dynamic* true extents in fixed buffers.
+
+    Args:
+      src: [..., H_cap, W_cap] with valid content in [0, src_true).
+      src_true: (h, w) dynamic scalars — the true source extent.
+      out_true: (h, w) dynamic scalars — the true output extent.
+      out_cap: static output buffer shape; cells beyond ``out_true`` are
+        zeroed.
+
+    Matches torch ``F.interpolate(mode='bilinear', align_corners=False)``
+    from the (src_true) grid to the (out_true) grid. Enables single-
+    compilation multi-scale fusion where every image has its own source
+    and target sizes.
+    """
+    sh, sw = src_true
+    oh, ow = out_true
+    y0, y1, fy = _axis_weights(out_cap[0], src.shape[-2], jnp.asarray(oh), jnp.asarray(sh))
+    x0, x1, fx = _axis_weights(out_cap[1], src.shape[-1], jnp.asarray(ow), jnp.asarray(sw))
+
+    rows0 = jnp.take(src, y0, axis=-2)
+    rows1 = jnp.take(src, y1, axis=-2)
+    rows = rows0 + (rows1 - rows0) * fy[..., :, None]
+    cols0 = jnp.take(rows, x0, axis=-1)
+    cols1 = jnp.take(rows, x1, axis=-1)
+    out = cols0 + (cols1 - cols0) * fx
+
+    oy = jax.lax.broadcasted_iota(jnp.int32, out_cap, 0)
+    ox = jax.lax.broadcasted_iota(jnp.int32, out_cap, 1)
+    mask = (oy < oh) & (ox < ow)
+    return jnp.where(mask, out, 0.0)

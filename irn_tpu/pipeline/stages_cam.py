@@ -143,6 +143,15 @@ def train_cam(cfg: Config) -> None:
 
 
 def make_cam(cfg: Config) -> None:
+    """Multi-scale flipped CAM inference (step/make_cam.py).
+
+    Fully device-resident per image: each scale's padded (orig, flip) pair
+    runs one bucketed CAM forward; flip fusion (dynamic roll), the resizes
+    to the stride-4 and strided-up grids (dynamic-extent bilinear), the
+    cross-scale sums, and per-class max-normalization all happen on device.
+    Only the K present classes' final maps cross device->host."""
+    from irn_tpu.ops.resize import resize_bilinear_dynamic
+
     labels = _label_dict(cfg)
     ds = voc12.MultiScaleDataset(
         cfg.infer_list, cfg.voc12_root, labels, scales=cfg.cam_scales
@@ -151,12 +160,41 @@ def make_cam(cfg: Config) -> None:
     variables = ckpt.load_checkpoint(cfg.cam_weights_name)
     os.makedirs(cfg.cam_out_dir, exist_ok=True)
 
+    s4_cap = cfg.rw_grid_cap                      # stride-4 grid cap
+    su_cap = cfg.rw_grid_cap * 4                  # strided-up (<= orig) cap
+    n_cls = 20
+
     @functools.lru_cache(maxsize=None)
-    def infer_fn(ph: int, pw: int):
+    def scale_pass(ph: int, pw: int):
         @jax.jit
-        def run(pair):
-            return model.apply(variables, pair, method=model.cam)
+        def run(pair, vh, vw, s4h, s4w, suh, suw, oh, ow, s_acc, h_acc):
+            maps = model.apply(variables, pair, method=model.cam)
+            m = jnp.transpose(maps, (0, 3, 1, 2))  # [2, 20, ph16, pw16]
+            w16 = m.shape[-1]
+            flipped = jnp.roll(m[1][..., ::-1], -(w16 - vw), axis=-1)
+            fused = m[0] + flipped  # [20, ph16, pw16]; valid in [0,vh)x[0,vw)
+            s = resize_bilinear_dynamic(
+                fused, (vh, vw), (s4h, s4w), (s4_cap, s4_cap)
+            )
+            hr = resize_bilinear_dynamic(
+                fused, (vh, vw), (suh, suw), (su_cap, su_cap)
+            )
+            # reference crops high_res to the original size BEFORE
+            # normalization (make_cam.py:43): zero beyond (oh, ow)
+            oy = jax.lax.broadcasted_iota(jnp.int32, (su_cap, su_cap), 0)
+            ox = jax.lax.broadcasted_iota(jnp.int32, (su_cap, su_cap), 1)
+            hr = jnp.where((oy < oh) & (ox < ow), hr, 0.0)
+            return s_acc + s, h_acc + hr
+
         return run
+
+    @jax.jit
+    def finalize(s_acc, h_acc, vc):
+        s = jnp.take(s_acc, vc, axis=0)
+        s = s / (s.max(axis=(1, 2), keepdims=True) + 1e-5)
+        h = jnp.take(h_acc, vc, axis=0)
+        h = h / (h.max(axis=(1, 2), keepdims=True) + 1e-5)
+        return s, h
 
     n = len(ds)
     for i in common.host_shard_range(n):
@@ -166,30 +204,31 @@ def make_cam(cfg: Config) -> None:
         if not cfg.overwrite and os.path.exists(out_path):
             continue
         size = sample["size"]
-        strided = T.get_strided_size(size, 4)
-        strided_up = T.get_strided_up_size(size, 16)
+        s4h, s4w = T.get_strided_size(size, 4)
+        suh, suw = T.get_strided_up_size(size, 16)
 
-        strided_sum = None
-        highres_sum = None
+        s_acc = jnp.zeros((n_cls, s4_cap, s4_cap), jnp.float32)
+        h_acc = jnp.zeros((n_cls, su_cap, su_cap), jnp.float32)
         for pair in sample["img"]:  # [2, H_s, W_s, 3] per scale
             _, sh, sw, _ = pair.shape
             ph = common.round_up(sh, cfg.pad_multiple)
             pw = common.round_up(sw, cfg.pad_multiple)
-            maps = infer_fn(ph, pw)(common.pad_pair_to(pair, ph, pw))
             vh = -(-sh // 16)
             vw = -(-sw // 16)
-            fused = fuse_flip(np.asarray(maps)[:, :vh, :vw, :])  # [vh, vw, 20]
-            fused = jnp.transpose(jnp.asarray(fused), (2, 0, 1))  # [20, vh, vw]
-            s = resize_bilinear_chw(fused, strided)
-            hr = resize_bilinear_chw(fused, strided_up)[:, : size[0], : size[1]]
-            strided_sum = s if strided_sum is None else strided_sum + s
-            highres_sum = hr if highres_sum is None else highres_sum + hr
+            s_acc, h_acc = scale_pass(ph, pw)(
+                common.pad_pair_to(pair, ph, pw),
+                jnp.int32(vh), jnp.int32(vw),
+                jnp.int32(s4h), jnp.int32(s4w),
+                jnp.int32(suh), jnp.int32(suw),
+                jnp.int32(size[0]), jnp.int32(size[1]),
+                s_acc, h_acc,
+            )
 
         valid_cat = np.nonzero(np.asarray(sample["label"]))[0]
-        strided_cam = np.asarray(strided_sum)[valid_cat]
-        strided_cam /= strided_cam.max(axis=(1, 2), keepdims=True) + 1e-5
-        highres_cam = np.asarray(highres_sum)[valid_cat]
-        highres_cam /= highres_cam.max(axis=(1, 2), keepdims=True) + 1e-5
+        s_sel, h_sel = finalize(s_acc, h_acc, jnp.asarray(valid_cat))
+        # slice on device so only the true extents cross device->host
+        strided_cam = np.asarray(s_sel[:, :s4h, :s4w])
+        highres_cam = np.asarray(h_sel[:, : size[0], : size[1]])
 
         np.save(
             out_path,
@@ -199,20 +238,21 @@ def make_cam(cfg: Config) -> None:
             print(f"make_cam {i}/{n}", flush=True)
 
 
-def eval_cam(cfg: Config):
+def eval_cam(cfg: Config, sweep: bool = False):
+    """CAM seed quality at ``cam_eval_thres`` (step/eval_cam.py). With
+    ``sweep=True`` also reports mIoU over a background-threshold grid —
+    the standard way reference users pick cam_eval_thres."""
     from irn_tpu.eval import semseg
 
     names = voc12.load_img_name_list(cfg.infer_list)
-    preds = []
+    cam_dicts = []
     gts = []
     for name in names:
-        cam_dict = np.load(
-            os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True
-        ).item()
-        labels = semseg.decode_cam_to_labels(
-            cam_dict["high_res"], np.asarray(cam_dict["keys"]), cfg.cam_eval_thres
+        cam_dicts.append(
+            np.load(
+                os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True
+            ).item()
         )
-        preds.append(labels)
         gts.append(
             np.asarray(
                 imageio.imread(
@@ -220,9 +260,25 @@ def eval_cam(cfg: Config):
                 )
             )
         )
-    conf = semseg.confusion_matrix(preds, gts)
-    scores = semseg.scores_from_confusion(conf)
+
+    def miou_at(thres: float):
+        preds = [
+            semseg.decode_cam_to_labels(
+                d["high_res"], np.asarray(d["keys"]), thres
+            )
+            for d in cam_dicts
+        ]
+        return semseg.scores_from_confusion(semseg.confusion_matrix(preds, gts))
+
+    scores = miou_at(cfg.cam_eval_thres)
     print({"iou": scores["iou"], "miou": scores["miou"]})
+    if sweep:
+        grid = [round(0.05 * k, 2) for k in range(1, 10)]
+        sweep_scores = {t: miou_at(t)["miou"] for t in grid}
+        best = max(sweep_scores, key=sweep_scores.get)
+        print("threshold sweep:", sweep_scores)
+        print(f"best cam_eval_thres: {best} (miou {sweep_scores[best]:.4f})")
+        scores["sweep"] = sweep_scores
     return scores
 
 

@@ -339,17 +339,56 @@ def make_ins_seg_labels(cfg: Config) -> None:
             seeds = seeds[: cfg.ins_seed_cap]
         labels, rw_up = walker(seeds, edge, h4, w4, size, cfg.ins_seg_bg_thres)
 
-        labels_np = np.asarray(labels)[: size[0], : size[1]]
+        # Only the int label map crosses device->host; per-component scores
+        # are reduced on device (rw_up is [n_rows, 4ch, 4cw] and never
+        # fetched — 1 MB instead of ~67 MB per image).
+        labels_full = np.asarray(labels)  # [4ch, 4cw]; 0 beyond extent
         n_rows = seeds.shape[0]
-        instance_shape = cc.to_one_hot(labels_np, maximum_val=n_rows + 1)[1:]
         instance_class_id = np.repeat(keys, num_instances)[:n_rows]
 
-        rw_up_np = np.asarray(rw_up)[:n_rows, : size[0], : size[1]]
-
-        detected = cent_mod.detect_instance(
-            rw_up_np, instance_shape, instance_class_id,
-            max_fragment_size=size[0] * size[1] * 0.01,
+        comp_map, comp_rows, comp_sizes = cent_mod.split_components(
+            labels_full, n_rows
         )
+        k_comps = comp_rows.shape[0]
+        if k_comps > cent_mod.MAX_COMPONENTS:
+            print(
+                f"WARNING {name}: {k_comps} components exceed "
+                f"{cent_mod.MAX_COMPONENTS}; truncating"
+            )
+            comp_map = np.where(comp_map <= cent_mod.MAX_COMPONENTS, comp_map, 0)
+            comp_rows = comp_rows[: cent_mod.MAX_COMPONENTS]
+            comp_sizes = comp_sizes[: cent_mod.MAX_COMPONENTS]
+            k_comps = cent_mod.MAX_COMPONENTS
+        rows_vec = np.zeros(cent_mod.MAX_COMPONENTS + 1, np.int32)
+        rows_vec[1 : k_comps + 1] = comp_rows
+        scores_all = np.asarray(
+            cent_mod.component_scores(
+                rw_up, jnp.asarray(comp_map), jnp.asarray(rows_vec)
+            )
+        )
+
+        max_fragment = size[0] * size[1] * 0.01
+        pred_score, pred_mask, pred_class = [], [], []
+        for k in range(1, k_comps + 1):
+            seg = comp_map[: size[0], : size[1]] == k
+            score = 0.0 if comp_sizes[k - 1] < max_fragment else float(
+                scores_all[k]
+            )
+            pred_score.append(score)
+            pred_mask.append(seg)
+            pred_class.append(int(instance_class_id[comp_rows[k - 1]]))
+        if pred_mask:
+            detected = {
+                "score": np.asarray(pred_score, np.float32),
+                "mask": np.stack(pred_mask, 0),
+                "class": np.asarray(pred_class, np.int32),
+            }
+        else:
+            detected = {
+                "score": np.zeros((0,), np.float32),
+                "mask": np.zeros((0, int(size[0]), int(size[1])), bool),
+                "class": np.zeros((0,), np.int32),
+            }
         detected["size"] = (int(size[0]), int(size[1]))
         np.save(out_path, detected)
         if i % max(n // 20, 1) == 0:
