@@ -35,7 +35,7 @@ from irn_tpu.pipeline.config import Config
 from irn_tpu.train import cam_train, optim
 from irn_tpu.train.state import create_train_state
 from irn_tpu.utils import checkpoint as ckpt
-from irn_tpu.utils.logging import AverageMeter, Timer
+from irn_tpu.utils.logging import AverageMeter, DeviceMeter, Timer
 
 
 def _label_dict(cfg: Config) -> Dict[str, np.ndarray]:
@@ -99,7 +99,7 @@ def train_cam(cfg: Config) -> None:
     from irn_tpu.utils.profiling import StageProfiler
 
     prof = StageProfiler(cfg.profile_dir, "train_cam")
-    meter = AverageMeter()
+    meter = DeviceMeter()
     timer = Timer()
     for ep in range(start_epoch, cfg.cam_num_epoches):
         print(f"Epoch {ep + 1}/{cfg.cam_num_epoches}")
@@ -109,7 +109,7 @@ def train_cam(cfg: Config) -> None:
             )
             state, metrics = step_fn(state, sb["img"], sb["label"])
             prof.tick()
-            meter.add({"loss1": float(metrics["loss"])})
+            meter.add({"loss1": metrics["loss"]})
             gstep = int(state.step)
             if (gstep - 1) % 100 == 0:
                 timer.update_progress(gstep / max_step)

@@ -40,7 +40,7 @@ from irn_tpu.pipeline.config import Config
 from irn_tpu.train import irn_train, optim
 from irn_tpu.train.state import create_train_state
 from irn_tpu.utils import checkpoint as ckpt
-from irn_tpu.utils.logging import AverageMeter, Timer
+from irn_tpu.utils.logging import AverageMeter, DeviceMeter, Timer
 
 
 def train_irn(cfg: Config) -> None:
@@ -83,7 +83,7 @@ def train_irn(cfg: Config) -> None:
     from irn_tpu.utils.profiling import StageProfiler
 
     prof = StageProfiler(cfg.profile_dir, "train_irn")
-    meter = AverageMeter()
+    meter = DeviceMeter()
     timer = Timer()
     for ep in range(start_epoch, cfg.irn_num_epoches):
         print(f"Epoch {ep + 1}/{cfg.irn_num_epoches}")
@@ -93,7 +93,7 @@ def train_irn(cfg: Config) -> None:
             )
             state, metrics = step_fn(state, sb["img"], sb["red"])
             prof.tick()
-            meter.add({k: float(v) for k, v in metrics.items()})
+            meter.add(metrics)
             gstep = int(state.step)
             if (gstep - 1) % 50 == 0:
                 timer.update_progress(gstep / max_step)

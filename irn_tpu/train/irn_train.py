@@ -42,12 +42,20 @@ def make_train_step(model: IRNet, tx: optax.GradientTransformation,
                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         bg_pos, fg_pos, neg = affinity_labels_2d(reduced_labels, path_set)
 
+        # rematerialize the per-pair loss maps in the backward pass: the
+        # path-max scan would otherwise store ~n_pairs x L_max x P
+        # residuals per sample (GBs at batch 32); recomputing from the
+        # small edge/dp maps is near-free elementwise work
+        @jax.checkpoint
+        def masked_losses(edge_logit, dp):
+            maps = affinity_displacement_loss_maps(edge_logit, dp, grid_index)
+            return irn_total_loss(maps, bg_pos, fg_pos, neg)
+
         def loss_fn(params):
             edge_logit, dp = model.apply(
                 {"params": params, "stats": state.stats}, images
             )
-            maps = affinity_displacement_loss_maps(edge_logit, dp, grid_index)
-            return irn_total_loss(maps, bg_pos, fg_pos, neg)
+            return masked_losses(edge_logit, dp)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

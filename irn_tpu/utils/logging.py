@@ -56,6 +56,28 @@ class AverageMeter:
         return v
 
 
+class DeviceMeter:
+    """AverageMeter over device scalars: values stay on device until a
+    windowed mean is requested, so the train loop never blocks on a
+    per-step device->host fetch (one fetch per log interval instead)."""
+
+    def __init__(self):
+        self._data: Dict[str, list] = {}
+
+    def add(self, values: Dict):
+        for k, v in values.items():
+            self._data.setdefault(k, []).append(v)
+
+    def pop(self, key: str) -> float:
+        vals = self._data.get(key, [])
+        self._data[key] = []
+        if not vals:
+            return 0.0
+        import jax.numpy as jnp
+
+        return float(jnp.mean(jnp.stack([jnp.asarray(v) for v in vals])))
+
+
 class Timer:
     def __init__(self, starting_msg: str | None = None):
         self.start = time.time()
