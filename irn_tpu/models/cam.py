@@ -48,9 +48,14 @@ class CAMNet(nn.Module):
         x = self.classifier(x)
         return x.reshape(x.shape[0], self.n_classes)
 
-    def cam(self, x: jax.Array) -> jax.Array:
-        """Raw per-class activation maps [B, h, w, n_classes] (stride 16)."""
-        feats = self.resnet50(x)
+    def cam(self, x: jax.Array, extent=None) -> jax.Array:
+        """Raw per-class activation maps [B, h, w, n_classes] (stride 16).
+
+        ``extent``: dynamic (h, w) true extent when ``x`` is a padded
+        buffer — masks propagate through the backbone so in-extent maps
+        match an exact-size run bit-for-bit (the reference's make_cam runs
+        exact shapes)."""
+        feats = self.resnet50(x, extent=extent)
         maps = self.classifier(feats["c5"])
         return nn.relu(maps)
 

@@ -71,6 +71,34 @@ def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
     )
 
 
+def _extent_mask_nhwc(x: jax.Array, extent) -> jax.Array:
+    """Zero NHWC activations at/beyond a dynamic (eh, ew) spatial extent.
+
+    Reproduces exact-size inference inside a padded buffer: values beyond
+    the true extent would not exist in an exact-size run, and every spatial
+    op (7x7/3x3 conv, maxpool) implicitly zero-pads there — so its *input*
+    must be zero beyond the extent. Without this, frozen-BN shifts turn the
+    zero-padded region into nonzero "hallucinated" features that bleed into
+    border cells (the reference's make_cam runs exact shapes,
+    step/make_cam.py:35)."""
+    if extent is None:
+        return x
+    eh, ew = extent
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape[1:3], 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape[1:3], 1)
+    mask = ((rows < eh) & (cols < ew)).astype(x.dtype)
+    return x * mask[None, :, :, None]
+
+
+def _halve_extent(extent):
+    """Spatial extent after a stride-2 k3/p1 (or k7/p3, or maxpool k3/p1)
+    op: floor((e - 1) / 2) + 1 == ceil(e / 2) (torch arithmetic)."""
+    if extent is None:
+        return None
+    eh, ew = extent
+    return (eh - 1) // 2 + 1, (ew - 1) // 2 + 1
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride, dilation) -> 1x1(x4) with identity/projection skip."""
 
@@ -80,11 +108,12 @@ class Bottleneck(nn.Module):
     project: bool = False  # True when a 1x1-projection skip is needed
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, extent=None) -> jax.Array:
         residual = x
         out = _conv(self.planes, 1, name="conv1")(x)
         out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = nn.relu(out)
+        out = _extent_mask_nhwc(out, extent)  # before the spatial conv
         out = _conv(self.planes, 3, stride=self.stride, dilation=self.dilation,
                     padding=self.dilation, name="conv2")(out)
         out = FrozenBatchNorm(self.planes, name="bn2")(out)
@@ -114,7 +143,12 @@ class ResNet50(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, stop_grad_after: Optional[str] = None):
+    def __call__(self, x: jax.Array, stop_grad_after: Optional[str] = None,
+                 extent=None):
+        """``extent``: optional dynamic (h, w) true-content extent of a
+        padded input buffer; activations beyond it are zeroed before every
+        spatial op so outputs inside the (progressively strided) extent are
+        bit-identical to an exact-size run."""
         if stop_grad_after is not None and stop_grad_after not in FEATURE_NAMES:
             raise ValueError(f"unknown feature {stop_grad_after!r}")
         x = x.astype(self.dtype)
@@ -127,10 +161,14 @@ class ResNet50(nn.Module):
             return jax.lax.stop_gradient(feat) if idx <= cut else feat
 
         feats = {}
+        # the padded input is zero beyond the extent already (host pads 0)
         x = _conv(64, 7, stride=self.strides[0], padding=3, name="conv1")(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
+        extent = _halve_extent(extent)
+        x = _extent_mask_nhwc(x, extent)  # before the spatial maxpool
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        extent = _halve_extent(extent)
         x = maybe_stop(x, "stem")
         feats["stem"] = x
 
@@ -139,15 +177,18 @@ class ResNet50(nn.Module):
         for li in range(4):
             for bi in range(self.blocks[li]):
                 first = bi == 0
+                stride = layer_strides[li] if first else 1
                 x = Bottleneck(
                     planes=planes[li],
-                    stride=layer_strides[li] if first else 1,
+                    stride=stride,
                     # reference quirk: first block of every layer ignores the
                     # layer dilation (resnet50.py:86)
                     dilation=1 if first else self.dilations[li],
                     project=first,
                     name=f"layer{li + 1}_{bi}",
-                )(x)
+                )(x, extent=extent)
+                if stride == 2:
+                    extent = _halve_extent(extent)
             name = FEATURE_NAMES[li + 1]
             x = maybe_stop(x, name)
             feats[name] = x

@@ -167,8 +167,10 @@ def make_cam(cfg: Config) -> None:
     @functools.lru_cache(maxsize=None)
     def scale_pass(ph: int, pw: int):
         @jax.jit
-        def run(pair, vh, vw, s4h, s4w, suh, suw, oh, ow, s_acc, h_acc):
-            maps = model.apply(variables, pair, method=model.cam)
+        def run(pair, sh, sw, vh, vw, s4h, s4w, suh, suw, oh, ow, s_acc, h_acc):
+            maps = model.apply(
+                variables, pair, extent=(sh, sw), method=model.cam
+            )
             m = jnp.transpose(maps, (0, 3, 1, 2))  # [2, 20, ph16, pw16]
             w16 = m.shape[-1]
             flipped = jnp.roll(m[1][..., ::-1], -(w16 - vw), axis=-1)
@@ -217,6 +219,7 @@ def make_cam(cfg: Config) -> None:
             vw = -(-sw // 16)
             s_acc, h_acc = scale_pass(ph, pw)(
                 common.pad_pair_to(pair, ph, pw),
+                jnp.int32(sh), jnp.int32(sw),
                 jnp.int32(vh), jnp.int32(vw),
                 jnp.int32(s4h), jnp.int32(s4w),
                 jnp.int32(suh), jnp.int32(suw),

@@ -147,3 +147,37 @@ def test_multilabel_loss_matches_torch(rng):
     ).item()
     ours = float(multilabel_soft_margin_loss(logits, targets))
     assert abs(ref - ours) < 1e-5
+
+
+@requires_reference
+def test_cam_maps_padded_extent_parity(ref_modules, rng):
+    """Padded-buffer inference with extent masking == exact-size reference
+    run (the make_cam fidelity guarantee for bucketed shapes)."""
+    import jax.numpy as jnp
+
+    resnet50_cam, _ = ref_modules
+    from irn_tpu.models.cam import CAMNet
+    from irn_tpu.utils.weights import convert_cam_net
+
+    ref = resnet50_cam.CAM()
+    ref.eval()
+    h, w = 75, 90  # deliberately not multiples of 16
+    img = _rand_img(rng, 1, h, w)[0]
+    pair = np.stack([img, img[:, :, ::-1]], axis=0)
+    with torch.no_grad():
+        ref_maps = ref.stage4(ref.stage3(ref.stage2(ref.stage1(
+            torch.from_numpy(pair.copy())))))
+        ref_maps = torch.relu(torch.nn.functional.conv2d(
+            ref_maps, ref.classifier.weight)).numpy()  # [2, 20, vh, vw]
+
+    variables = convert_cam_net({k: v for k, v in ref.state_dict().items()})
+    model = CAMNet()
+    padded = np.zeros((2, 128, 128, 3), np.float32)
+    padded[:, :h, :w] = np.transpose(pair, (0, 2, 3, 1))
+    maps = model.apply(
+        variables, padded, extent=(jnp.int32(h), jnp.int32(w)),
+        method=model.cam,
+    )
+    vh, vw = -(-h // 16), -(-w // 16)
+    got = np.transpose(np.asarray(maps)[:, :vh, :vw, :], (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref_maps, atol=2e-3, rtol=5e-2)
