@@ -79,7 +79,7 @@ class Config:
     model_dtype: str = "float32"          # backbone compute dtype
     rw_matmul_dtype: str = "float32"      # 'float32' | 'bfloat16'
     rw_grid_cap: int = 128                # stride-4 cells (=512px images)
-    ins_seed_cap: int = 64                # max (instance x class) seed rows
+    ins_seed_cap: int = 128               # max (instance x class) seed rows
     pad_multiple: int = 64                # inference shape bucketing
     compile_cache_dir: str = ""
     overwrite: bool = False               # rerun stages over existing outputs

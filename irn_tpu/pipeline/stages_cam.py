@@ -286,17 +286,24 @@ def eval_cam(cfg: Config, sweep: bool = False):
 
 
 def cam_to_ir_label(cfg: Config) -> None:
+    """CAM -> confident inter-pixel relation seeds via dense CRF
+    (step/cam_to_ir_label.py). CPU-bound: the native CRF releases the GIL,
+    so a thread pool gives real parallelism (the reference fans out one
+    process per CPU worker, cam_to_ir_label.py:51-54)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     ds = voc12.ImageDataset(
         cfg.infer_list, cfg.voc12_root, img_normal=False
     )
     os.makedirs(cfg.ir_label_out_dir, exist_ok=True)
     n = len(ds)
-    for i in common.host_shard_range(n):
+
+    def work(i: int):
         sample = ds[i]
         name = sample["name"]
         out_path = os.path.join(cfg.ir_label_out_dir, name + ".png")
         if not cfg.overwrite and os.path.exists(out_path):
-            continue
+            return
         img = sample["img"].astype(np.uint8)
         cam_dict = np.load(
             os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True
@@ -326,3 +333,6 @@ def cam_to_ir_label(cfg: Config) -> None:
         imageio.imwrite(out_path, conf_map.astype(np.uint8))
         if i % max(n // 20, 1) == 0:
             print(f"cam_to_ir_label {i}/{n}", flush=True)
+
+    with ThreadPoolExecutor(max_workers=max(1, cfg.num_workers)) as pool:
+        list(pool.map(work, common.host_shard_range(n)))

@@ -18,6 +18,15 @@ from irn_tpu.pipeline.config import Config
 
 
 def _gt_ids(cfg: Config):
+    """Ground-truth id list: the VOC segmentation split named by
+    ``eval_set`` when present (the reference evaluates against chainercv's
+    split datasets, e.g. ImageSets/Segmentation/train.txt), else the
+    pipeline's infer list."""
+    split = os.path.join(
+        cfg.voc12_root, "ImageSets", "Segmentation", cfg.eval_set + ".txt"
+    )
+    if cfg.eval_set and os.path.exists(split):
+        return voc12.load_img_name_list(split)
     return voc12.load_img_name_list(cfg.infer_list)
 
 
