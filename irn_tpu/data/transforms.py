@@ -14,7 +14,7 @@ HWC->CHW transpose in this pipeline.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Sequence, Tuple, Union
 
 import numpy as np
 from PIL import Image

@@ -8,7 +8,7 @@ negative gt labels (chainercv marks VOC void pixels as -1; VOC pngs use
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Tuple
+from typing import Dict, Iterable
 
 import numpy as np
 

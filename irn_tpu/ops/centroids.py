@@ -18,7 +18,7 @@ Reference semantics (step/make_ins_seg_labels.py:18-105):
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ random-walk x4 upsample)."""
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

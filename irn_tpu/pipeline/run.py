@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
-import sys
 
 from irn_tpu.pipeline.config import Config
 from irn_tpu.utils.logging import Logger, Timer

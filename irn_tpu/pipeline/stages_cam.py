@@ -26,9 +26,8 @@ import numpy as np
 from irn_tpu.data import loader as loader_mod
 from irn_tpu.data import transforms as T
 from irn_tpu.data import voc12
-from irn_tpu.models.cam import CAMNet, fuse_flip, multilabel_soft_margin_loss
+from irn_tpu.models.cam import CAMNet
 from irn_tpu.ops import crf
-from irn_tpu.ops.resize import resize_bilinear_chw
 from irn_tpu.parallel import mesh as mesh_mod
 from irn_tpu.pipeline import common
 from irn_tpu.pipeline.config import Config

@@ -19,7 +19,6 @@ TPU redesign highlights:
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Dict, Tuple
 
@@ -40,7 +39,7 @@ from irn_tpu.pipeline.config import Config
 from irn_tpu.train import irn_train, optim
 from irn_tpu.train.state import create_train_state
 from irn_tpu.utils import checkpoint as ckpt
-from irn_tpu.utils.logging import AverageMeter, DeviceMeter, Timer
+from irn_tpu.utils.logging import DeviceMeter, Timer
 
 
 def train_irn(cfg: Config) -> None:
@@ -270,12 +269,25 @@ def _msf_single_scale(cfg: Config):
 
 
 def make_sem_seg_labels(cfg: Config) -> None:
+    """Random-walk pseudo semantic masks (step/make_sem_seg_labels.py),
+    software-pipelined: image i+1's host reads and device dispatch overlap
+    image i's device compute; the blocking label fetch happens one image
+    behind the dispatch front."""
     runner = _load_irn(cfg)
     walker = RandomWalkRunner(cfg, n_seed_rows=20)
     ds = _msf_single_scale(cfg)
     os.makedirs(cfg.sem_seg_out_dir, exist_ok=True)
 
     n = len(ds)
+    pending = None  # (i, out_path, size, keys, labels_device)
+
+    def finish(item):
+        i, out_path, size, keys, labels = item
+        pred = np.asarray(labels)[: size[0], : size[1]]
+        imageio.imwrite(out_path, keys[pred].astype(np.uint8))
+        if i % max(n // 20, 1) == 0:
+            print(f"make_sem_seg {i}/{n}", flush=True)
+
     for i in common.host_shard_range(n):
         sample = ds[i]
         name = sample["name"]
@@ -292,11 +304,11 @@ def make_sem_seg_labels(cfg: Config) -> None:
         keys = np.pad(np.asarray(cam_dict["keys"]) + 1, (1, 0), mode="constant")
 
         labels, _ = walker(cams, edge, h4, w4, size, cfg.sem_seg_bg_thres)
-        pred = np.asarray(labels)[: size[0], : size[1]]
-        pred = keys[pred]
-        imageio.imwrite(out_path, pred.astype(np.uint8))
-        if i % max(n // 20, 1) == 0:
-            print(f"make_sem_seg {i}/{n}", flush=True)
+        if pending is not None:
+            finish(pending)
+        pending = (i, out_path, size, keys, labels)
+    if pending is not None:
+        finish(pending)
 
 
 def make_ins_seg_labels(cfg: Config) -> None:

@@ -11,7 +11,6 @@ import functools
 from typing import Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from irn_tpu.models.cam import CAMNet, multilabel_soft_margin_loss
