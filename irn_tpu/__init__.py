@@ -23,3 +23,13 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+# Convenience API (submodules stay lazily importable on their own)
+from irn_tpu.pipeline.config import Config  # noqa: E402,F401
+
+
+def run_pipeline(cfg: "Config") -> None:
+    """Run configured pipeline stages (see irn_tpu.pipeline.run)."""
+    from irn_tpu.pipeline.run import run_pipeline as _run
+
+    _run(cfg)

@@ -152,8 +152,8 @@ def make_cam(cfg: Config) -> None:
     from irn_tpu.ops.resize import resize_bilinear_dynamic
 
     labels = _label_dict(cfg)
-    ds = voc12.MultiScaleDataset(
-        cfg.infer_list, cfg.voc12_root, labels, scales=cfg.cam_scales
+    ds = voc12.ClassificationDataset(
+        cfg.infer_list, cfg.voc12_root, labels, img_normal=False
     )
     model = CAMNet(dtype=jnp.dtype(cfg.model_dtype))
     variables = ckpt.load_checkpoint(cfg.cam_weights_name)
@@ -163,10 +163,21 @@ def make_cam(cfg: Config) -> None:
     su_cap = cfg.rw_grid_cap * 4                  # strided-up (<= orig) cap
     n_cls = 20
 
+    mean = jnp.asarray(T.IMAGENET_MEAN)
+    std = jnp.asarray(T.IMAGENET_STD)
+
     @functools.lru_cache(maxsize=None)
     def scale_pass(ph: int, pw: int):
         @jax.jit
-        def run(pair, sh, sw, vh, vw, s4h, s4w, suh, suw, oh, ow, s_acc, h_acc):
+        def run(img_u8, sh, sw, vh, vw, s4h, s4w, suh, suw, oh, ow,
+                s_acc, h_acc):
+            # uint8 upload; normalize + pad-mask + flip pair on device
+            x = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
+            pr = jax.lax.broadcasted_iota(jnp.int32, x.shape[:2], 0)
+            pc = jax.lax.broadcasted_iota(jnp.int32, x.shape[:2], 1)
+            x = jnp.where(((pr < sh) & (pc < sw))[..., None], x, 0.0)
+            flip = jnp.roll(x[:, ::-1, :], -(x.shape[1] - sw), axis=1)
+            pair = jnp.stack([x, flip], axis=0)
             maps = model.apply(
                 variables, pair, extent=(sh, sw), method=model.cam
             )
@@ -204,20 +215,23 @@ def make_cam(cfg: Config) -> None:
         out_path = os.path.join(cfg.cam_out_dir, name + ".npy")
         if not cfg.overwrite and os.path.exists(out_path):
             continue
-        size = sample["size"]
+        img = sample["img"].astype(np.uint8)
+        size = img.shape[:2]
         s4h, s4w = T.get_strided_size(size, 4)
         suh, suw = T.get_strided_up_size(size, 16)
 
         s_acc = jnp.zeros((n_cls, s4_cap, s4_cap), jnp.float32)
         h_acc = jnp.zeros((n_cls, su_cap, su_cap), jnp.float32)
-        for pair in sample["img"]:  # [2, H_s, W_s, 3] per scale
-            _, sh, sw, _ = pair.shape
+        for scale in cfg.cam_scales:
+            s_img = img if scale == 1 else T.pil_rescale(img, scale, 3)
+            sh, sw = s_img.shape[:2]
             ph = common.round_up(sh, cfg.pad_multiple)
             pw = common.round_up(sw, cfg.pad_multiple)
             vh = -(-sh // 16)
             vw = -(-sw // 16)
+            padded = np.pad(s_img, ((0, ph - sh), (0, pw - sw), (0, 0)))
             s_acc, h_acc = scale_pass(ph, pw)(
-                common.pad_pair_to(pair, ph, pw),
+                padded,
                 jnp.int32(sh), jnp.int32(sw),
                 jnp.int32(vh), jnp.int32(vw),
                 jnp.int32(s4h), jnp.int32(s4w),

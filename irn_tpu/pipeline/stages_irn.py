@@ -154,8 +154,25 @@ class EdgeDisplacementRunner:
         self.variables = variables
         self.cap = cfg.rw_grid_cap
 
+        from irn_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+
         @jax.jit
-        def run(pair: jax.Array, h4: jax.Array, w4: jax.Array):
+        def run(img_u8: jax.Array, h_px: jax.Array, w_px: jax.Array,
+                h4: jax.Array, w4: jax.Array):
+            # normalize + build the flip pair on device: the host uploads
+            # one uint8 image (8x less host->device traffic than an fp32
+            # (orig, flip) pair). Padding must be zero in NORMALIZED space
+            # (the reference pads the normalized tensor,
+            # resnet50_irn.py:226), so mask after normalizing.
+            x = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
+            pr = jax.lax.broadcasted_iota(jnp.int32, x.shape[:2], 0)
+            pc = jax.lax.broadcasted_iota(jnp.int32, x.shape[:2], 1)
+            x = jnp.where(((pr < h_px) & (pc < w_px))[..., None], x, 0.0)
+            flip = jnp.roll(x[:, ::-1, :], -(x.shape[1] - w_px), axis=1)
+            pair = jnp.stack([x, flip], axis=0)
             edge_logit, dp = self.model.apply(
                 self.variables, pair, apply_mean_shift=True
             )
@@ -174,15 +191,17 @@ class EdgeDisplacementRunner:
 
         self._run = run
 
-    def __call__(self, pair_np: np.ndarray, size: Tuple[int, int]):
-        """pair_np: [2, H, W, 3] (orig, flip); size: true (H, W)."""
+    def __call__(self, img_u8: np.ndarray, size: Tuple[int, int]):
+        """img_u8: [H, W, 3] uint8 original image; size: true (H, W)."""
         cap_px = self.cap * 4
-        _, h, w, _ = pair_np.shape
+        h, w, _ = img_u8.shape
         assert h <= cap_px and w <= cap_px, (h, w, cap_px)
-        pair = common.pad_pair_to(pair_np, cap_px, cap_px)
+        padded = np.pad(img_u8, ((0, cap_px - h), (0, cap_px - w), (0, 0)))
         h4 = (size[0] - 1) // 4 + 1
         w4 = (size[1] - 1) // 4 + 1
-        edge, dp = self._run(pair, jnp.int32(h4), jnp.int32(w4))
+        edge, dp = self._run(
+            padded, jnp.int32(h), jnp.int32(w), jnp.int32(h4), jnp.int32(w4)
+        )
         return edge, dp, (h4, w4)
 
 
@@ -256,16 +275,9 @@ def _load_irn(cfg: Config):
     return EdgeDisplacementRunner(cfg, variables)
 
 
-def _msf_single_scale(cfg: Config):
-    labels = {}
-    if os.path.exists(cfg.cls_labels_path):
-        labels = voc12.load_label_dict(cfg.cls_labels_path)
-    else:
-        names = voc12.load_img_name_list(cfg.infer_list)
-        labels = voc12.make_label_dict(names, cfg.voc12_root)
-    return voc12.MultiScaleDataset(
-        cfg.infer_list, cfg.voc12_root, labels, scales=(1.0,)
-    )
+def _raw_infer_dataset(cfg: Config):
+    """Raw uint8 images + sizes (normalization and flip happen on device)."""
+    return voc12.ImageDataset(cfg.infer_list, cfg.voc12_root, img_normal=False)
 
 
 def make_sem_seg_labels(cfg: Config) -> None:
@@ -275,7 +287,7 @@ def make_sem_seg_labels(cfg: Config) -> None:
     behind the dispatch front."""
     runner = _load_irn(cfg)
     walker = RandomWalkRunner(cfg, n_seed_rows=20)
-    ds = _msf_single_scale(cfg)
+    ds = _raw_infer_dataset(cfg)
     os.makedirs(cfg.sem_seg_out_dir, exist_ok=True)
 
     n = len(ds)
@@ -294,8 +306,9 @@ def make_sem_seg_labels(cfg: Config) -> None:
         out_path = os.path.join(cfg.sem_seg_out_dir, name + ".png")
         if not cfg.overwrite and os.path.exists(out_path):
             continue
-        size = sample["size"]
-        edge, _, (h4, w4) = runner(sample["img"][0], size)
+        img_u8 = sample["img"].astype(np.uint8)
+        size = img_u8.shape[:2]
+        edge, _, (h4, w4) = runner(img_u8, size)
 
         cam_dict = np.load(
             os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True
@@ -314,7 +327,7 @@ def make_sem_seg_labels(cfg: Config) -> None:
 def make_ins_seg_labels(cfg: Config) -> None:
     runner = _load_irn(cfg)
     walker = RandomWalkRunner(cfg, n_seed_rows=cfg.ins_seed_cap)
-    ds = _msf_single_scale(cfg)
+    ds = _raw_infer_dataset(cfg)
     os.makedirs(cfg.ins_seg_out_dir, exist_ok=True)
 
     n = len(ds)
@@ -324,8 +337,9 @@ def make_ins_seg_labels(cfg: Config) -> None:
         out_path = os.path.join(cfg.ins_seg_out_dir, name + ".npy")
         if not cfg.overwrite and os.path.exists(out_path):
             continue
-        size = sample["size"]
-        edge, dp, (h4, w4) = runner(sample["img"][0], size)
+        img_u8 = sample["img"].astype(np.uint8)
+        size = img_u8.shape[:2]
+        edge, dp, (h4, w4) = runner(img_u8, size)
 
         cam_dict = np.load(
             os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True
