@@ -59,7 +59,8 @@ class FrozenBatchNorm(nn.Module):
 
 
 def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
-          padding: int = 0, name: Optional[str] = None) -> nn.Conv:
+          padding: int = 0, name: Optional[str] = None,
+          dtype=None) -> nn.Conv:
     return nn.Conv(
         features=features,
         kernel_size=(kernel, kernel),
@@ -68,6 +69,7 @@ def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
         kernel_dilation=(dilation, dilation),
         use_bias=False,
         name=name,
+        dtype=dtype,
     )
 
 
@@ -106,23 +108,24 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     project: bool = False  # True when a 1x1-projection skip is needed
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, extent=None) -> jax.Array:
         residual = x
-        out = _conv(self.planes, 1, name="conv1")(x)
+        out = _conv(self.planes, 1, name="conv1", dtype=self.dtype)(x)
         out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = nn.relu(out)
         out = _extent_mask_nhwc(out, extent)  # before the spatial conv
         out = _conv(self.planes, 3, stride=self.stride, dilation=self.dilation,
-                    padding=self.dilation, name="conv2")(out)
+                    padding=self.dilation, name="conv2", dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.planes, name="bn2")(out)
         out = nn.relu(out)
-        out = _conv(self.planes * 4, 1, name="conv3")(out)
+        out = _conv(self.planes * 4, 1, name="conv3", dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
         if self.project:
             residual = _conv(self.planes * 4, 1, stride=self.stride,
-                             name="down_conv")(x)
+                             name="down_conv", dtype=self.dtype)(x)
             residual = FrozenBatchNorm(self.planes * 4, name="down_bn")(residual)
         return nn.relu(out + residual)
 
@@ -162,7 +165,8 @@ class ResNet50(nn.Module):
 
         feats = {}
         # the padded input is zero beyond the extent already (host pads 0)
-        x = _conv(64, 7, stride=self.strides[0], padding=3, name="conv1")(x)
+        x = _conv(64, 7, stride=self.strides[0], padding=3, name="conv1",
+                  dtype=self.dtype)(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
         extent = _halve_extent(extent)
@@ -186,6 +190,7 @@ class ResNet50(nn.Module):
                     dilation=1 if first else self.dilations[li],
                     project=first,
                     name=f"layer{li + 1}_{bi}",
+                    dtype=self.dtype,
                 )(x, extent=extent)
                 if stride == 2:
                     extent = _halve_extent(extent)
