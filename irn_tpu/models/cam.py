@@ -24,10 +24,16 @@ from irn_tpu.models.resnet import ResNet50
 
 
 class CAMNet(nn.Module):
-    """ResNet-50 multi-label classifier with a CAM inference path."""
+    """ResNet-50 multi-label classifier with a CAM inference path.
+
+    ``stop_grad_at``: feature through which training gradients are blocked;
+    "c3" is the reference's detach-after-layer2 (the faithful default, which
+    assumes an ImageNet-pretrained stem); None trains the full backbone.
+    """
 
     n_classes: int = 20
     dtype: jnp.dtype = jnp.float32
+    stop_grad_at: str | None = "c3"
 
     def setup(self):
         self.resnet50 = ResNet50(strides=(2, 2, 2, 1), dtype=self.dtype)
@@ -39,10 +45,10 @@ class CAMNet(nn.Module):
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         """Classification logits [B, n_classes].
 
-        ``train=True`` blocks gradients through layer2's output like the
+        ``train=True`` blocks gradients through ``stop_grad_at`` like the
         reference's detach; inference skips the stop_gradient (no-op anyway).
         """
-        feats = self.resnet50(x, stop_grad_after="c3" if train else None)
+        feats = self.resnet50(x, stop_grad_after=self.stop_grad_at if train else None)
         x = feats["c5"]
         x = jnp.mean(x, axis=(1, 2), keepdims=True)  # GAP, [B,1,1,2048]
         x = self.classifier(x)

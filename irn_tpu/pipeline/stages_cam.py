@@ -67,14 +67,16 @@ def train_cam(cfg: Config) -> None:
     )
     max_step = (len(train_ds) // cfg.cam_batch_size) * cfg.cam_num_epoches
 
-    model = CAMNet(dtype=jnp.dtype(cfg.model_dtype))
+    model = CAMNet(dtype=jnp.dtype(cfg.model_dtype),
+                   stop_grad_at=cfg.cam_stop_grad or None)
     example = np.zeros((1, cfg.cam_crop_size, cfg.cam_crop_size, 3), np.float32)
     variables = common.init_model_variables(model, cfg, example, train=True)
     # weight decay 0: the reference's PolyOptimizer never applies its
     # weight_decay (it lands in torch SGD's momentum slot, torchutils.py:10)
     tx = optim.poly_sgd(
         cfg.cam_learning_rate, max_step=max_step, power=0.9,
-        weight_decay=0.0, mult_fn=optim.cam_lr_mult,
+        weight_decay=0.0,
+        mult_fn=optim.cam_lr_mult if cfg.cam_stop_grad else optim.cam_lr_mult_full,
     )
     state = create_train_state(variables, tx)
 

@@ -146,6 +146,12 @@ def cam_lr_mult(path: tuple) -> float:
     return 1.0
 
 
+def cam_lr_mult_full(path: tuple) -> float:
+    """CAM groups with no backbone freeze (for from-scratch training where
+    no ImageNet stem exists): backbone 1x, head 10x."""
+    return 10.0 if path and path[0] == "classifier" else 1.0
+
+
 def irn_lr_mult(path: tuple) -> float:
     """IRN groups: backbone frozen (resnet50_irn.py:111-115), edge branch
     1x, displacement branch 10x (train_irn.py:33-36)."""
