@@ -48,11 +48,21 @@ class CAMNet(nn.Module):
         ``train=True`` blocks gradients through ``stop_grad_at`` like the
         reference's detach; inference skips the stop_gradient (no-op anyway).
         """
-        feats = self.resnet50(x, stop_grad_after=self.stop_grad_at if train else None)
+        feats = self.resnet50(
+            x, stop_grad_after=self.stop_grad_at if train else None
+        )
         x = feats["c5"]
         x = jnp.mean(x, axis=(1, 2), keepdims=True)  # GAP, [B,1,1,2048]
         x = self.classifier(x)
         return x.reshape(x.shape[0], self.n_classes)
+
+    def calibrate_stats(self, x: jax.Array) -> jax.Array:
+        """One calibration forward: writes batch statistics into every
+        frozen-BN's running stats (apply with ``mutable=['stats']``).
+        Enables from-scratch training, where the reference's frozen
+        ImageNet statistics don't exist."""
+        feats = self.resnet50(x, calibrate=True)
+        return jnp.mean(feats["c5"], axis=(1, 2))
 
     def cam(self, x: jax.Array, extent=None) -> jax.Array:
         """Raw per-class activation maps [B, h, w, n_classes] (stride 16).

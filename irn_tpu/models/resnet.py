@@ -42,7 +42,7 @@ class FrozenBatchNorm(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, calibrate: bool = False) -> jax.Array:
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.variable(
@@ -51,6 +51,17 @@ class FrozenBatchNorm(nn.Module):
         var = self.variable(
             "stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
         )
+        if calibrate:
+            # stats-calibration mode (apply with mutable=['stats']): write
+            # the batch distribution into the frozen stats and normalize
+            # with it, so downstream layers calibrate against normalized
+            # inputs. For training without pretrained running statistics.
+            xf = x.astype(jnp.float32)
+            bm = jnp.mean(xf, axis=(0, 1, 2))
+            bv = jnp.var(xf, axis=(0, 1, 2))
+            if not self.is_initializing():
+                mean.value = bm
+                var.value = bv
         inv = (scale * jax.lax.rsqrt(var.value + self.eps)).astype(x.dtype)
         shift = (bias - mean.value * scale * jax.lax.rsqrt(var.value + self.eps)).astype(
             x.dtype
@@ -111,22 +122,24 @@ class Bottleneck(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, extent=None) -> jax.Array:
+    def __call__(self, x: jax.Array, extent=None,
+                 calibrate: bool = False) -> jax.Array:
         residual = x
         out = _conv(self.planes, 1, name="conv1", dtype=self.dtype)(x)
-        out = FrozenBatchNorm(self.planes, name="bn1")(out)
+        out = FrozenBatchNorm(self.planes, name="bn1")(out, calibrate)
         out = nn.relu(out)
         out = _extent_mask_nhwc(out, extent)  # before the spatial conv
         out = _conv(self.planes, 3, stride=self.stride, dilation=self.dilation,
                     padding=self.dilation, name="conv2", dtype=self.dtype)(out)
-        out = FrozenBatchNorm(self.planes, name="bn2")(out)
+        out = FrozenBatchNorm(self.planes, name="bn2")(out, calibrate)
         out = nn.relu(out)
         out = _conv(self.planes * 4, 1, name="conv3", dtype=self.dtype)(out)
-        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out, calibrate)
         if self.project:
             residual = _conv(self.planes * 4, 1, stride=self.stride,
                              name="down_conv", dtype=self.dtype)(x)
-            residual = FrozenBatchNorm(self.planes * 4, name="down_bn")(residual)
+            residual = FrozenBatchNorm(self.planes * 4, name="down_bn")(
+                residual, calibrate)
         return nn.relu(out + residual)
 
 
@@ -147,7 +160,7 @@ class ResNet50(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, stop_grad_after: Optional[str] = None,
-                 extent=None):
+                 extent=None, calibrate: bool = False):
         """``extent``: optional dynamic (h, w) true-content extent of a
         padded input buffer; activations beyond it are zeroed before every
         spatial op so outputs inside the (progressively strided) extent are
@@ -167,7 +180,7 @@ class ResNet50(nn.Module):
         # the padded input is zero beyond the extent already (host pads 0)
         x = _conv(64, 7, stride=self.strides[0], padding=3, name="conv1",
                   dtype=self.dtype)(x)
-        x = FrozenBatchNorm(64, name="bn1")(x)
+        x = FrozenBatchNorm(64, name="bn1")(x, calibrate)
         x = nn.relu(x)
         extent = _halve_extent(extent)
         x = _extent_mask_nhwc(x, extent)  # before the spatial maxpool
@@ -191,7 +204,7 @@ class ResNet50(nn.Module):
                     project=first,
                     name=f"layer{li + 1}_{bi}",
                     dtype=self.dtype,
-                )(x, extent=extent)
+                )(x, extent=extent, calibrate=calibrate)
                 if stride == 2:
                     extent = _halve_extent(extent)
             name = FEATURE_NAMES[li + 1]

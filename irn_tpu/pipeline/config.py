@@ -77,6 +77,8 @@ class Config:
     # TPU-native knobs
     pretrained_backbone: str = ""
     cam_stop_grad: str = "c3"             # "" trains the full backbone
+    calibrate_bn: bool = True             # calibrate BN stats when training
+                                          # without pretrained weights
     model_dtype: str = "float32"          # backbone compute dtype
     rw_matmul_dtype: str = "float32"      # 'float32' | 'bfloat16'
     rw_grid_cap: int = 128                # stride-4 cells (=512px images)

@@ -71,6 +71,18 @@ def train_cam(cfg: Config) -> None:
                    stop_grad_at=cfg.cam_stop_grad or None)
     example = np.zeros((1, cfg.cam_crop_size, cfg.cam_crop_size, 3), np.float32)
     variables = common.init_model_variables(model, cfg, example, train=True)
+
+    if cfg.calibrate_bn and not cfg.pretrained_backbone:
+        # no ImageNet running statistics exist: calibrate the frozen BN
+        # stats from one real batch so a from-scratch backbone is trainable
+        batch = next(iter(train_dl))
+        _, mutated = model.apply(
+            variables, batch["img"], method=model.calibrate_stats,
+            mutable=["stats"],
+        )
+        variables["stats"] = mutated["stats"]
+        print("calibrated frozen-BN statistics from one batch")
+
     # weight decay 0: the reference's PolyOptimizer never applies its
     # weight_decay (it lands in torch SGD's momentum slot, torchutils.py:10)
     tx = optim.poly_sgd(
