@@ -15,14 +15,12 @@ Behavioral contract (matches /root/reference/net/resnet50_irn.py:7-141):
   (resnet50_irn.py:99-108).
 
 The inference wrapper (pad-to-crop-size, flip-averaged sigmoid edge —
-EdgeDisplacement, resnet50_irn.py:216-234) lives in
-:func:`edge_displacement_apply`, a pure function over fixed shapes so a
-single XLA compilation serves every image.
+EdgeDisplacement, resnet50_irn.py:216-234) is
+irn_tpu.pipeline.stages_irn.EdgeDisplacementRunner: one fixed-shape XLA
+program with dynamic true extents serving every image.
 """
 
 from __future__ import annotations
-
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -109,40 +107,3 @@ class IRNet(nn.Module):
         if apply_mean_shift:
             dp = dp - self.dp_mean.value.astype(dp.dtype)
         return edge, dp
-
-
-def edge_displacement_apply(
-    model: IRNet,
-    variables,
-    image_and_flip: jax.Array,
-    true_size: Tuple[int, int],
-    crop_size: int = 512,
-    stride: int = 4,
-):
-    """EdgeDisplacement inference (resnet50_irn.py:223-234).
-
-    Args:
-      image_and_flip: [2, crop, crop, 3] — the zero-padded image and its
-        horizontal flip (padding to ``crop_size`` happens host-side or by the
-        caller with ``jnp.pad``; the reference pads after flipping batch
-        entry 1, i.e. the flip is of the *unpadded* image then padded — the
-        caller must reproduce that).
-      true_size: original (H, W) used only to crop outputs; under jit these
-        must be static. Use a fixed crop grid and slice host-side to keep
-        one compilation.
-
-    Returns:
-      edge: [h4, w4] sigmoid of the flip-averaged logit.
-      dp:   [h4, w4, 2] displacement of the unflipped sample (mean-shifted).
-    """
-    h4 = (true_size[0] - 1) // stride + 1
-    w4 = (true_size[1] - 1) // stride + 1
-    edge_logit, dp = model.apply(
-        variables, image_and_flip, apply_mean_shift=True
-    )
-    edge_logit = edge_logit[:, :h4, :w4, 0]
-    dp = dp[:, :h4, :w4, :]
-    edge = jax.nn.sigmoid(
-        edge_logit[0] / 2.0 + edge_logit[1][:, ::-1] / 2.0
-    )
-    return edge, dp[0]

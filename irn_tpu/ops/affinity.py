@@ -109,7 +109,10 @@ def affinity_labels_2d(
 
 
 def edge_to_affinity(edge_flat: jax.Array, grid_index: GridPathIndex) -> jax.Array:
-    """Path affinities from a flattened edge map.
+    """Path affinities from a flattened edge map — reference-layout gather
+    variant, kept as the parity-test oracle. Production code uses the
+    gather-free :func:`path_affinity` (giant index literals cost minutes of
+    XLA compile time and TPU scatters/gathers serialize).
 
     Args:
       edge_flat: [..., H*W] edge strength in [0, 1].
@@ -135,7 +138,9 @@ def affinity_labels(
     dst_indices: jax.Array,
     n_classes_with_bg: int = 21,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """{bg-pos, fg-pos, neg} float masks from an int label map.
+    """{bg-pos, fg-pos, neg} float masks from an int label map —
+    reference-layout gather variant (parity-test oracle); production uses
+    :func:`affinity_labels_2d`.
 
     Args:
       label_flat: [..., H*W] int labels (0 = bg, 1..20 = classes,
