@@ -87,6 +87,10 @@ class BatchLoader:
 
     def __iter__(self) -> Iterator[Dict]:
         idx = self._epoch_indices()
+        if hasattr(self.dataset, "set_epoch"):
+            # Per-sample RNGs derive from (seed, epoch, idx): reproducible
+            # for any num_workers, fresh draws each epoch.
+            self.dataset.set_epoch(self._epoch)
         self._epoch += 1
         n_batches = len(idx) // self.batch_size if self.drop_last else -(
             -len(idx) // self.batch_size

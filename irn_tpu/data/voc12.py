@@ -94,7 +94,29 @@ def _as_rgb(img: np.ndarray) -> np.ndarray:
     return img[..., :3]
 
 
-class ImageDataset:
+class EpochSeeded:
+    """Per-sample RNG derivation shared by the augmenting datasets.
+
+    ``np.random.Generator`` is not thread-safe, so a single dataset-level
+    generator would race (and lose reproducibility) under the loader's
+    thread pool. Instead each ``__getitem__`` derives a fresh generator
+    from ``(seed, epoch, idx)`` — deterministic for any worker count, and
+    re-drawn each epoch. :class:`irn_tpu.data.loader.BatchLoader` calls
+    :meth:`set_epoch` at the start of every epoch.
+    """
+
+    def __init__(self, seed: int = 0):
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def sample_rng(self, idx: int) -> np.random.Generator:
+        return np.random.default_rng((self.seed, self._epoch, int(idx)))
+
+
+class ImageDataset(EpochSeeded):
     def __init__(
         self,
         img_name_list_path: str,
@@ -107,6 +129,7 @@ class ImageDataset:
         crop_method: Optional[str] = None,
         seed: int = 0,
     ):
+        super().__init__(seed)
         self.img_name_list = load_img_name_list(img_name_list_path)
         self.voc12_root = voc12_root
         self.resize_long = resize_long
@@ -115,7 +138,6 @@ class ImageDataset:
         self.hor_flip = hor_flip
         self.crop_size = crop_size
         self.crop_method = crop_method
-        self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
         return len(self.img_name_list)
@@ -125,18 +147,19 @@ class ImageDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         name = self.img_name_list[idx]
+        rng = self.sample_rng(idx)
         img = self.read_image(name)
         if self.resize_long:
-            img = T.random_resize_long(img, *self.resize_long, rng=self._rng)
+            img = T.random_resize_long(img, *self.resize_long, rng=rng)
         if self.rescale:
-            img = T.random_scale(img, self.rescale, 3, rng=self._rng)
+            img = T.random_scale(img, self.rescale, 3, rng=rng)
         if self.img_normal:
             img = T.normalize(img)
         if self.hor_flip:
-            img = T.random_lr_flip(img, rng=self._rng)
+            img = T.random_lr_flip(img, rng=rng)
         if self.crop_size:
             if self.crop_method == "random":
-                img = T.random_crop(img, self.crop_size, 0, rng=self._rng)
+                img = T.random_crop(img, self.crop_size, 0, rng=rng)
             else:
                 img = T.top_left_crop(img, self.crop_size, 0)
         return {"name": name, "img": np.ascontiguousarray(img)}
@@ -179,7 +202,7 @@ class MultiScaleDataset(ClassificationDataset):
         }
 
 
-class SegmentationDataset:
+class SegmentationDataset(EpochSeeded):
     """Image + label map from an arbitrary label_dir
     (dataloader.py:207-253)."""
 
@@ -188,6 +211,7 @@ class SegmentationDataset:
                  rescale: Optional[Tuple[float, float]] = None,
                  img_normal: bool = True, hor_flip: bool = False,
                  crop_method: str = "random", seed: int = 0):
+        super().__init__(seed)
         self.img_name_list = load_img_name_list(img_name_list_path)
         self.voc12_root = voc12_root
         self.label_dir = label_dir
@@ -196,27 +220,27 @@ class SegmentationDataset:
         self.img_normal = img_normal
         self.hor_flip = hor_flip
         self.crop_method = crop_method
-        self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
         return len(self.img_name_list)
 
     def __getitem__(self, idx: int) -> Dict:
         name = self.img_name_list[idx]
+        rng = self.sample_rng(idx)
         img = _as_rgb(np.asarray(imageio.imread(get_img_path(name, self.voc12_root))))
         label = np.asarray(
             imageio.imread(os.path.join(self.label_dir, name + ".png"))
         )
         if self.rescale:
             img, label = T.random_scale((img, label), self.rescale, (3, 0),
-                                        rng=self._rng)
+                                        rng=rng)
         if self.img_normal:
             img = T.normalize(img)
         if self.hor_flip:
-            img, label = T.random_lr_flip((img, label), rng=self._rng)
+            img, label = T.random_lr_flip((img, label), rng=rng)
         if self.crop_method == "random":
             img, label = T.random_crop((img, label), self.crop_size, (0, 255),
-                                       rng=self._rng)
+                                       rng=rng)
         else:
             img = T.top_left_crop(img, self.crop_size, 0)
             label = T.top_left_crop(label, self.crop_size, 255)

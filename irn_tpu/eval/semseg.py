@@ -37,6 +37,25 @@ def confusion_matrix(
     return conf
 
 
+def accumulate_confusion(
+    conf: np.ndarray, pred: np.ndarray, gt: np.ndarray, ignore: int = 255
+) -> None:
+    """In-place one-image update of a fixed-size [n, n] confusion matrix.
+
+    Streaming counterpart of :func:`confusion_matrix` for the eval stages,
+    so an epoch over 10k images never holds more than one pred/gt pair in
+    memory (the reference's chainercv accumulates the same way). Labels
+    >= n are dropped, matching the reference's ``confusion[:21, :21]``
+    crop (step/eval_sem_seg.py:21)."""
+    n = conf.shape[0]
+    pred = np.asarray(pred).reshape(-1).astype(np.int64)
+    gt = np.asarray(gt).reshape(-1).astype(np.int64)
+    if pred.shape != gt.shape:
+        raise ValueError("pred/gt shape mismatch")
+    valid = (gt >= 0) & (gt != ignore) & (gt < n) & (pred >= 0) & (pred < n)
+    np.add.at(conf, (gt[valid], pred[valid]), 1)
+
+
 def iou_from_confusion(conf: np.ndarray) -> np.ndarray:
     gtj = conf.sum(axis=1)
     resj = conf.sum(axis=0)

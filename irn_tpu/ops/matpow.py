@@ -36,31 +36,52 @@ def _use_pallas() -> bool:
         return False
 
 
-def matmul_square(t: jax.Array, matmul_dtype: Optional[jnp.dtype] = None) -> jax.Array:
-    """One squaring T @ T with the configured operand precision."""
-    if _use_pallas():
+def matmul_square(
+    t: jax.Array,
+    matmul_dtype: Optional[jnp.dtype] = None,
+    sharding=None,
+) -> jax.Array:
+    """One squaring T @ T with the configured operand precision.
+
+    With ``sharding`` (a block-row NamedSharding over the mesh's model
+    axis) the product is constrained so the SPMD partitioner keeps T
+    row-distributed across every squaring: each device contracts its row
+    block against an all-gathered right operand (full-k dot per output
+    element, so results are bit-identical to the single-device order) and
+    the Pallas single-chip kernel is bypassed."""
+    if sharding is None and _use_pallas():
         from irn_tpu.ops.matpow_pallas import square_pallas
 
         return square_pallas(t, matmul_dtype=matmul_dtype)
     if matmul_dtype is not None:
         tb = t.astype(matmul_dtype)
-        return jnp.dot(tb, tb, preferred_element_type=jnp.float32)
-    return jnp.dot(t, t, precision=jax.lax.Precision.HIGHEST)
+        out = jnp.dot(tb, tb, preferred_element_type=jnp.float32)
+    else:
+        out = jnp.dot(t, t, precision=jax.lax.Precision.HIGHEST)
+    if sharding is not None:
+        out = jax.lax.with_sharding_constraint(out, sharding)
+    return out
 
 
 def matrix_power_squarings(
-    t: jax.Array, exp_times: int, matmul_dtype: Optional[jnp.dtype] = None
+    t: jax.Array,
+    exp_times: int,
+    matmul_dtype: Optional[jnp.dtype] = None,
+    sharding=None,
 ) -> jax.Array:
+    if sharding is not None:
+        t = jax.lax.with_sharding_constraint(t, sharding)
     if exp_times <= 0:
         return t
     if exp_times == 1:
-        return matmul_square(t, matmul_dtype=matmul_dtype)
+        return matmul_square(t, matmul_dtype=matmul_dtype, sharding=sharding)
     # fori_loop keeps ONE squaring body in the program instead of e unrolled
     # copies — compile time of the fused label-propagation program drops by
     # an order of magnitude at identical steady-state throughput.
     return jax.lax.fori_loop(
         0,
         exp_times,
-        lambda _, x: matmul_square(x, matmul_dtype=matmul_dtype),
+        lambda _, x: matmul_square(x, matmul_dtype=matmul_dtype,
+                                   sharding=sharding),
         t,
     )

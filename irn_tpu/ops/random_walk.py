@@ -165,6 +165,7 @@ def transition_matrix(
     beta: int = 10,
     exp_times: int = 8,
     matmul_dtype: Optional[jnp.dtype] = None,
+    sharding=None,
 ) -> jax.Array:
     """A^beta, column-normalize, then ``exp_times`` squarings => T^(2^e).
 
@@ -172,7 +173,9 @@ def transition_matrix(
     (indexing.py:135)."""
     scaled = affinity**beta
     t = scaled / jnp.sum(scaled, axis=0, keepdims=True)
-    return matrix_power_squarings(t, exp_times, matmul_dtype=matmul_dtype)
+    return matrix_power_squarings(
+        t, exp_times, matmul_dtype=matmul_dtype, sharding=sharding
+    )
 
 
 def propagate(
@@ -182,18 +185,29 @@ def propagate(
     beta: int = 10,
     exp_times: int = 8,
     matmul_dtype: Optional[jnp.dtype] = None,
+    mesh=None,
 ) -> jax.Array:
     """Random-walk propagation of seed maps to boundaries.
 
     Args:
       cam_capped: [C, cap_h, cap_w] seed score maps (zeros beyond extent).
       edge_capped: [cap_h, cap_w] edge map (1.0 beyond extent).
+      mesh: optional Mesh with a >1 "model" axis: the transition matrix is
+        block-row sharded over it for every squaring and the final x @ T
+        (the "long-context" scaling mode; each device's full-k contraction
+        keeps results bit-identical to single-device execution).
 
     Returns:
       [C, cap_h, cap_w] propagated scores (zero beyond extent).
     """
+    sharding = None
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec("model", None))
     t = transition_matrix(
-        dense_affinity(geom, edge_capped), beta, exp_times, matmul_dtype
+        dense_affinity(geom, edge_capped), beta, exp_times, matmul_dtype,
+        sharding=sharding,
     )
 
     r = geom.radius
@@ -205,6 +219,15 @@ def propagate(
     seeds_flat = seeds.reshape(c, geom.n_vertices)
     seeds_flat = jnp.pad(seeds_flat, ((0, 0), (0, geom.n_pad - geom.n_vertices)))
 
+    if sharding is not None:
+        # gather T for the final (cheap) seed propagation: a replicated
+        # full-k dot keeps the reduction order — and hence the decoded
+        # labels — identical to the single-device path
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        t = jax.lax.with_sharding_constraint(
+            t, NamedSharding(mesh, PartitionSpec(None, None))
+        )
     if matmul_dtype is not None:
         rw = jnp.dot(
             seeds_flat.astype(matmul_dtype),

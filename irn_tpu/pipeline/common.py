@@ -59,6 +59,35 @@ def host_shard_range(n: int):
     return range(jax.process_index(), n, jax.process_count())
 
 
+class DeviceSpreader:
+    """Round-robin committed placement of per-image inference programs over
+    the local devices — the single-process replacement for the reference's
+    one-process-per-GPU spawn fan-out (step/make_cam.py:71-74): jit runs a
+    program wherever its committed inputs live, so image i's work lands on
+    device i % n and all chips stay busy from one Python process.
+
+    ``n_devices=1`` (or a 1-device platform) degenerates to the plain
+    single-device path. ``assigned`` counts dispatches per device so tests
+    can assert every device received work."""
+
+    def __init__(self, n_devices: int = 0):
+        import jax
+
+        devs = jax.local_devices()
+        if n_devices:
+            devs = devs[:n_devices]
+        self.devices = list(devs)
+        self.assigned = {d: 0 for d in self.devices}
+
+    def __len__(self) -> int:
+        return len(self.devices)
+
+    def __call__(self, i: int):
+        d = self.devices[i % len(self.devices)]
+        self.assigned[d] += 1
+        return d
+
+
 def outputs_exist(out_dir: str, names, suffix: str) -> bool:
     return all(os.path.exists(os.path.join(out_dir, n + suffix)) for n in names)
 

@@ -87,6 +87,19 @@ class Config:
     compile_cache_dir: str = ""
     overwrite: bool = False               # rerun stages over existing outputs
     mesh_data: int = 0                    # 0 = all devices
+    infer_devices: int = 0                # round-robin the per-image make_*
+                                          # programs over this many local
+                                          # devices (0 = all; the reference
+                                          # spawns one process per GPU,
+                                          # step/make_cam.py:71-74)
+    rw_mesh_model: int = 1                # row-shard the random-walk
+                                          # transition matrix over this many
+                                          # devices (1 = single-device);
+                                          # lifts the HBM ceiling on grids
+                                          # beyond rw_grid_cap. Mutually
+                                          # exclusive with infer_devices
+                                          # fan-out (one image uses the
+                                          # whole mesh).
     profile_dir: str = ""                 # capture jax.profiler traces
     resume: bool = True                   # resume training from epoch ckpts
 

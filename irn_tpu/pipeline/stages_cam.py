@@ -61,8 +61,10 @@ def train_cam(cfg: Config) -> None:
         train_ds, cfg.cam_batch_size, shuffle=True, drop_last=True,
         num_workers=cfg.num_workers,
     )
+    # drop_last=False: the reference's validate loader keeps the tail batch
+    # (step/train_cam.py:24-27); the eval step re-jits once for it
     val_dl = loader_mod.BatchLoader(
-        val_ds, cfg.cam_batch_size, shuffle=False, drop_last=True,
+        val_ds, cfg.cam_batch_size, shuffle=False, drop_last=False,
         num_workers=cfg.num_workers,
     )
     max_step = (len(train_ds) // cfg.cam_batch_size) * cfg.cam_num_epoches
@@ -222,7 +224,24 @@ def make_cam(cfg: Config) -> None:
         h = h / (h.max(axis=(1, 2), keepdims=True) + 1e-5)
         return s, h
 
+    from collections import deque
+
+    spread = common.DeviceSpreader(cfg.infer_devices)
     n = len(ds)
+    pending = deque()  # (i, out_path, size, s4, valid_cat, s_sel, h_sel)
+
+    def finish(item):
+        i, out_path, size, (s4h, s4w), valid_cat, s_sel, h_sel = item
+        # slice on device so only the true extents cross device->host
+        strided_cam = np.asarray(s_sel[:, :s4h, :s4w])
+        highres_cam = np.asarray(h_sel[:, : size[0], : size[1]])
+        np.save(
+            out_path,
+            {"keys": valid_cat, "cam": strided_cam, "high_res": highres_cam},
+        )
+        if i % max(n // 20, 1) == 0:
+            print(f"make_cam {i}/{n}", flush=True)
+
     for i in common.host_shard_range(n):
         sample = ds[i]
         name = sample["name"]
@@ -233,9 +252,14 @@ def make_cam(cfg: Config) -> None:
         size = img.shape[:2]
         s4h, s4w = T.get_strided_size(size, 4)
         suh, suw = T.get_strided_up_size(size, 16)
+        dev = spread(i)
 
-        s_acc = jnp.zeros((n_cls, s4_cap, s4_cap), jnp.float32)
-        h_acc = jnp.zeros((n_cls, su_cap, su_cap), jnp.float32)
+        s_acc = jax.device_put(
+            jnp.zeros((n_cls, s4_cap, s4_cap), jnp.float32), dev
+        )
+        h_acc = jax.device_put(
+            jnp.zeros((n_cls, su_cap, su_cap), jnp.float32), dev
+        )
         for scale in cfg.cam_scales:
             s_img = img if scale == 1 else T.pil_rescale(img, scale, 3)
             sh, sw = s_img.shape[:2]
@@ -245,7 +269,7 @@ def make_cam(cfg: Config) -> None:
             vw = -(-sw // 16)
             padded = np.pad(s_img, ((0, ph - sh), (0, pw - sw), (0, 0)))
             s_acc, h_acc = scale_pass(ph, pw)(
-                padded,
+                jax.device_put(padded, dev),
                 jnp.int32(sh), jnp.int32(sw),
                 jnp.int32(vh), jnp.int32(vw),
                 jnp.int32(s4h), jnp.int32(s4w),
@@ -256,16 +280,13 @@ def make_cam(cfg: Config) -> None:
 
         valid_cat = np.nonzero(np.asarray(sample["label"]))[0]
         s_sel, h_sel = finalize(s_acc, h_acc, jnp.asarray(valid_cat))
-        # slice on device so only the true extents cross device->host
-        strided_cam = np.asarray(s_sel[:, :s4h, :s4w])
-        highres_cam = np.asarray(h_sel[:, : size[0], : size[1]])
-
-        np.save(
-            out_path,
-            {"keys": valid_cat, "cam": strided_cam, "high_res": highres_cam},
+        pending.append(
+            (i, out_path, size, (s4h, s4w), valid_cat, s_sel, h_sel)
         )
-        if i % max(n // 20, 1) == 0:
-            print(f"make_cam {i}/{n}", flush=True)
+        while len(pending) > len(spread):
+            finish(pending.popleft())
+    while pending:
+        finish(pending.popleft())
 
 
 def eval_cam(cfg: Config, sweep: bool = False):
@@ -275,36 +296,32 @@ def eval_cam(cfg: Config, sweep: bool = False):
     from irn_tpu.eval import semseg
 
     names = voc12.load_img_name_list(cfg.infer_list)
-    cam_dicts = []
-    gts = []
+    thresholds = [cfg.cam_eval_thres]
+    grid = [round(0.05 * k, 2) for k in range(1, 10)] if sweep else []
+    thresholds += [t for t in grid if t not in thresholds]
+    # streaming: one cam dict + gt resident at a time; every threshold's
+    # confusion accumulates in the same pass over the (large) split
+    confs = {t: np.zeros((21, 21), np.int64) for t in thresholds}
     for name in names:
-        cam_dicts.append(
-            np.load(
-                os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True
-            ).item()
-        )
-        gts.append(
-            np.asarray(
-                imageio.imread(
-                    os.path.join(cfg.voc12_root, "SegmentationClass", name + ".png")
-                )
+        d = np.load(
+            os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True
+        ).item()
+        gt = np.asarray(
+            imageio.imread(
+                os.path.join(cfg.voc12_root, "SegmentationClass", name + ".png")
             )
         )
+        keys = np.asarray(d["keys"])
+        for t in thresholds:
+            pred = semseg.decode_cam_to_labels(d["high_res"], keys, t)
+            semseg.accumulate_confusion(confs[t], pred, gt)
 
-    def miou_at(thres: float):
-        preds = [
-            semseg.decode_cam_to_labels(
-                d["high_res"], np.asarray(d["keys"]), thres
-            )
-            for d in cam_dicts
-        ]
-        return semseg.scores_from_confusion(semseg.confusion_matrix(preds, gts))
-
-    scores = miou_at(cfg.cam_eval_thres)
+    scores = semseg.scores_from_confusion(confs[cfg.cam_eval_thres])
     print({"iou": scores["iou"], "miou": scores["miou"]})
     if sweep:
-        grid = [round(0.05 * k, 2) for k in range(1, 10)]
-        sweep_scores = {t: miou_at(t)["miou"] for t in grid}
+        sweep_scores = {
+            t: semseg.scores_from_confusion(confs[t])["miou"] for t in grid
+        }
         best = max(sweep_scores, key=sweep_scores.get)
         print("threshold sweep:", sweep_scores)
         print(f"best cam_eval_thres: {best} (miou {sweep_scores[best]:.4f})")

@@ -32,22 +32,19 @@ def _gt_ids(cfg: Config):
 
 def eval_sem_seg(cfg: Config):
     names = _gt_ids(cfg)
-    preds = []
-    gts = []
+    # streaming: one pred/gt pair resident at a time (peak RSS ~one image)
+    conf = np.zeros((21, 21), np.int64)
     for name in names:
         pred = np.asarray(
             imageio.imread(os.path.join(cfg.sem_seg_out_dir, name + ".png"))
         ).astype(np.int64)
         pred[pred == 255] = 0  # eval_sem_seg.py:15
-        preds.append(pred)
-        gts.append(
-            np.asarray(
-                imageio.imread(
-                    os.path.join(cfg.voc12_root, "SegmentationClass", name + ".png")
-                )
+        gt = np.asarray(
+            imageio.imread(
+                os.path.join(cfg.voc12_root, "SegmentationClass", name + ".png")
             )
         )
-    conf = semseg.confusion_matrix(preds, gts)[:21, :21]
+        semseg.accumulate_confusion(conf, pred, gt)
     scores = semseg.scores_from_confusion(conf)
     print(scores["fp"][0], scores["fn"][0])
     print(np.nanmean(scores["fp"][1:]), np.nanmean(scores["fn"][1:]))
@@ -56,32 +53,40 @@ def eval_sem_seg(cfg: Config):
 
 
 def eval_ins_seg(cfg: Config):
+    import itertools
+
     names = _gt_ids(cfg)
-    pred_masks, pred_classes, pred_scores = [], [], []
-    gt_masks, gt_labels = [], []
-    for name in names:
-        ins = np.load(
-            os.path.join(cfg.ins_seg_out_dir, name + ".npy"), allow_pickle=True
-        ).item()
-        pred_masks.append(np.asarray(ins["mask"], bool))
-        pred_classes.append(np.asarray(ins["class"]))
-        pred_scores.append(np.asarray(ins["score"]))
-        obj = np.asarray(
-            imageio.imread(
-                os.path.join(cfg.voc12_root, "SegmentationObject", name + ".png")
+
+    def records():
+        for name in names:
+            ins = np.load(
+                os.path.join(cfg.ins_seg_out_dir, name + ".npy"),
+                allow_pickle=True,
+            ).item()
+            obj = np.asarray(
+                imageio.imread(
+                    os.path.join(
+                        cfg.voc12_root, "SegmentationObject", name + ".png"
+                    )
+                )
             )
-        )
-        cls = np.asarray(
-            imageio.imread(
-                os.path.join(cfg.voc12_root, "SegmentationClass", name + ".png")
+            cls = np.asarray(
+                imageio.imread(
+                    os.path.join(
+                        cfg.voc12_root, "SegmentationClass", name + ".png"
+                    )
+                )
             )
-        )
-        masks, labels = insseg.load_voc_instance_gt(obj, cls)
-        gt_masks.append(masks)
-        gt_labels.append(labels)
+            masks, labels = insseg.load_voc_instance_gt(obj, cls)
+            yield (np.asarray(ins["mask"], bool), np.asarray(ins["class"]),
+                   np.asarray(ins["score"]), masks, labels)
+
+    # Streaming: the evaluator zips its five sequences in lockstep, so
+    # tee'd views over one record generator keep at most one image's masks
+    # resident (the tee buffers never grow past a single record).
+    fields = itertools.tee(records(), 5)
     result = insseg.eval_instance_segmentation_voc(
-        pred_masks, pred_classes, pred_scores, gt_masks, gt_labels,
-        iou_thresh=0.5,
+        *((r[k] for r in f) for k, f in enumerate(fields)), iou_thresh=0.5
     )
     print("0.5iou:", result)
     return result

@@ -191,12 +191,18 @@ class EdgeDisplacementRunner:
 
         self._run = run
 
-    def __call__(self, img_u8: np.ndarray, size: Tuple[int, int]):
-        """img_u8: [H, W, 3] uint8 original image; size: true (H, W)."""
+    def __call__(self, img_u8: np.ndarray, size: Tuple[int, int],
+                 device=None):
+        """img_u8: [H, W, 3] uint8 original image; size: true (H, W).
+
+        ``device``: commit the input (and thus the program) to a specific
+        local device for round-robin fan-out."""
         cap_px = self.cap * 4
         h, w, _ = img_u8.shape
         assert h <= cap_px and w <= cap_px, (h, w, cap_px)
         padded = np.pad(img_u8, ((0, cap_px - h), (0, cap_px - w), (0, 0)))
+        if device is not None:
+            padded = jax.device_put(padded, device)
         h4 = (size[0] - 1) // 4 + 1
         w4 = (size[1] - 1) // 4 + 1
         edge, dp = self._run(
@@ -218,43 +224,59 @@ class RandomWalkRunner:
     BUCKET = 32
 
     def __init__(self, cfg: Config, n_seed_rows: int):
+        import threading
+
         self.cap = cfg.rw_grid_cap
         self.radius = cfg.rw_radius
         self.beta = cfg.beta
         self.exp_times = cfg.exp_times
         self.n_rows = n_seed_rows
         self.mm_dtype = cfg.rw_matmul_jnp_dtype()
+        # long-context mode: row-shard the transition matrix over a model
+        # mesh, so one image's (HW)^2 matrix splits across the slice
+        self.mesh = (
+            mesh_mod.make_mesh(n_data=1, n_model=cfg.rw_mesh_model)
+            if cfg.rw_mesh_model > 1 else None
+        )
         self._programs = {}
+        self._lock = threading.Lock()
 
     def _program(self, cap_h: int, cap_w: int):
         key = (cap_h, cap_w)
-        if key in self._programs:
-            return self._programs[key]
-        geom = rw_mod.build_geometry(cap_h, cap_w, radius=self.radius)
+        with self._lock:
+            if key in self._programs:
+                return self._programs[key]
+            geom = rw_mod.build_geometry(cap_h, cap_w, radius=self.radius)
+            mesh = self.mesh
 
-        @jax.jit
-        def run(cam: jax.Array, edge: jax.Array, h4, w4, h0, w0, bg_thres):
-            rw = rw_mod.propagate(
-                geom, cam, edge, beta=self.beta, exp_times=self.exp_times,
-                matmul_dtype=self.mm_dtype,
-            )
-            labels, rw_up, _ = rw_mod.upsample_and_decode(
-                rw, h4, w4, h0, w0, bg_thres
-            )
-            return labels, rw_up
+            @jax.jit
+            def run(cam: jax.Array, edge: jax.Array, h4, w4, h0, w0, bg_thres):
+                rw = rw_mod.propagate(
+                    geom, cam, edge, beta=self.beta, exp_times=self.exp_times,
+                    matmul_dtype=self.mm_dtype, mesh=mesh,
+                )
+                labels, rw_up, _ = rw_mod.upsample_and_decode(
+                    rw, h4, w4, h0, w0, bg_thres
+                )
+                return labels, rw_up
 
-        self._programs[key] = run
-        return run
+            self._programs[key] = run
+            return run
 
     def _bucket(self, x: int) -> int:
         b = ((x + self.BUCKET - 1) // self.BUCKET) * self.BUCKET
         return min(b, self.cap)
 
     def __call__(self, cam_rows: np.ndarray, edge: jax.Array,
-                 h4: int, w4: int, size: Tuple[int, int], bg_thres: float):
+                 h4: int, w4: int, size: Tuple[int, int], bg_thres: float,
+                 device=None):
         """cam_rows: [K, h4, w4] seeds (K <= n_rows); edge [cap, cap] with
         1.0 beyond extent. Returns (labels [4ch, 4cw] in 0..n_rows,
-        rw_up [n_rows, 4ch, 4cw]) at the selected bucket size."""
+        rw_up [n_rows, 4ch, 4cw]) at the selected bucket size.
+
+        ``device``: commit inputs to a specific device (round-robin
+        fan-out); ignored in mesh (rw_mesh_model > 1) mode, where one
+        image's inputs replicate over the whole model mesh."""
         ch = self._bucket(h4)
         cw = self._bucket(w4)
         k = cam_rows.shape[0]
@@ -262,9 +284,18 @@ class RandomWalkRunner:
         assert h4 <= ch and w4 <= cw, (h4, w4, ch, cw)
         cam = np.zeros((self.n_rows, ch, cw), np.float32)
         cam[:k, :h4, :w4] = cam_rows
+        cam_in = jnp.asarray(cam)
         edge_b = jnp.asarray(edge)[:ch, :cw]
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            cam_in = jax.device_put(cam_in, rep)
+            edge_b = jax.device_put(edge_b, rep)
+        elif device is not None:
+            cam_in = jax.device_put(cam_in, device)
         labels, rw_up = self._program(ch, cw)(
-            jnp.asarray(cam), edge_b, jnp.int32(h4), jnp.int32(w4),
+            cam_in, edge_b, jnp.int32(h4), jnp.int32(w4),
             jnp.int32(size[0]), jnp.int32(size[1]), jnp.float32(bg_thres),
         )
         return labels, rw_up
@@ -282,16 +313,25 @@ def _raw_infer_dataset(cfg: Config):
 
 def make_sem_seg_labels(cfg: Config) -> None:
     """Random-walk pseudo semantic masks (step/make_sem_seg_labels.py),
-    software-pipelined: image i+1's host reads and device dispatch overlap
-    image i's device compute; the blocking label fetch happens one image
-    behind the dispatch front."""
+    software-pipelined AND device-fanned-out: per-image programs commit to
+    local devices round-robin (the reference's per-GPU spawn,
+    make_sem_seg_labels.py:67-70, inside one process), the dispatch front
+    runs one full device rotation ahead, and the blocking label fetch
+    happens n_devices images behind — every chip computes while the host
+    reads/writes."""
+    from collections import deque
+
     runner = _load_irn(cfg)
     walker = RandomWalkRunner(cfg, n_seed_rows=20)
+    # one image occupies the whole mesh in rw_mesh_model mode
+    spread = common.DeviceSpreader(
+        1 if cfg.rw_mesh_model > 1 else cfg.infer_devices
+    )
     ds = _raw_infer_dataset(cfg)
     os.makedirs(cfg.sem_seg_out_dir, exist_ok=True)
 
     n = len(ds)
-    pending = None  # (i, out_path, size, keys, labels_device)
+    pending = deque()  # (i, out_path, size, keys, labels_device)
 
     def finish(item):
         i, out_path, size, keys, labels = item
@@ -308,7 +348,8 @@ def make_sem_seg_labels(cfg: Config) -> None:
             continue
         img_u8 = sample["img"].astype(np.uint8)
         size = img_u8.shape[:2]
-        edge, _, (h4, w4) = runner(img_u8, size)
+        dev = spread(i)
+        edge, _, (h4, w4) = runner(img_u8, size, device=dev)
 
         cam_dict = np.load(
             os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True
@@ -316,30 +357,45 @@ def make_sem_seg_labels(cfg: Config) -> None:
         cams = np.asarray(cam_dict["cam"], np.float32)  # [K, h4, w4]
         keys = np.pad(np.asarray(cam_dict["keys"]) + 1, (1, 0), mode="constant")
 
-        labels, _ = walker(cams, edge, h4, w4, size, cfg.sem_seg_bg_thres)
-        if pending is not None:
-            finish(pending)
-        pending = (i, out_path, size, keys, labels)
-    if pending is not None:
-        finish(pending)
+        labels, _ = walker(
+            cams, edge, h4, w4, size, cfg.sem_seg_bg_thres, device=dev
+        )
+        pending.append((i, out_path, size, keys, labels))
+        while len(pending) > len(spread):
+            finish(pending.popleft())
+    while pending:
+        finish(pending.popleft())
 
 
 def make_ins_seg_labels(cfg: Config) -> None:
+    """Instance pseudo masks (step/make_ins_seg_labels.py). The per-image
+    flow interleaves device programs with host centroid clustering, so the
+    device fan-out runs one worker thread per local device: thread t's
+    images commit to device t, host post-processing overlaps across
+    threads (the reference spawns one process per GPU,
+    make_ins_seg_labels.py:168-171)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     runner = _load_irn(cfg)
     walker = RandomWalkRunner(cfg, n_seed_rows=cfg.ins_seed_cap)
+    spread = common.DeviceSpreader(
+        1 if cfg.rw_mesh_model > 1 else cfg.infer_devices
+    )
     ds = _raw_infer_dataset(cfg)
     os.makedirs(cfg.ins_seg_out_dir, exist_ok=True)
 
     n = len(ds)
-    for i in common.host_shard_range(n):
+
+    def work(i: int) -> None:
         sample = ds[i]
         name = sample["name"]
         out_path = os.path.join(cfg.ins_seg_out_dir, name + ".npy")
         if not cfg.overwrite and os.path.exists(out_path):
-            continue
+            return
         img_u8 = sample["img"].astype(np.uint8)
         size = img_u8.shape[:2]
-        edge, dp, (h4, w4) = runner(img_u8, size)
+        dev = spread(i)
+        edge, dp, (h4, w4) = runner(img_u8, size, device=dev)
 
         cam_dict = np.load(
             os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True
@@ -363,7 +419,9 @@ def make_ins_seg_labels(cfg: Config) -> None:
                 f"ins_seed_cap={cfg.ins_seed_cap}; truncating"
             )
             seeds = seeds[: cfg.ins_seed_cap]
-        labels, rw_up = walker(seeds, edge, h4, w4, size, cfg.ins_seg_bg_thres)
+        labels, rw_up = walker(
+            seeds, edge, h4, w4, size, cfg.ins_seg_bg_thres, device=dev
+        )
 
         # Only the int label map crosses device->host; per-component scores
         # are reduced on device (rw_up is [n_rows, 4ch, 4cw] and never
@@ -419,3 +477,6 @@ def make_ins_seg_labels(cfg: Config) -> None:
         np.save(out_path, detected)
         if i % max(n // 20, 1) == 0:
             print(f"make_ins_seg {i}/{n}", flush=True)
+
+    with ThreadPoolExecutor(max_workers=max(1, len(spread))) as pool:
+        list(pool.map(work, common.host_shard_range(n)))

@@ -88,6 +88,35 @@ def test_batch_loader(voc_root):
     np.testing.assert_allclose(batches[0]["img"], again[0]["img"])
 
 
+def test_loader_reproducible_any_worker_count(voc_root):
+    """Per-sample (seed, epoch, idx) RNG derivation: augmented batches are
+    identical for any num_workers, and fresh each epoch."""
+    labels = voc12.load_label_dict(voc_root + "/cls_labels.npy")
+
+    def run(num_workers, epochs=2):
+        ds = voc12.ClassificationDataset(
+            voc_root + "/train.txt", voc_root, labels,
+            resize_long=(60, 90), hor_flip=True, crop_size=64,
+            crop_method="random", seed=7,
+        )
+        dl = loader_mod.BatchLoader(
+            ds, batch_size=2, shuffle=True, drop_last=True,
+            num_workers=num_workers,
+        )
+        return [[b["img"].copy() for b in dl] for _ in range(epochs)]
+
+    a = run(1)
+    b = run(4)
+    for ea, eb in zip(a, b):
+        assert len(ea) == len(eb)
+        for xa, xb in zip(ea, eb):
+            np.testing.assert_array_equal(xa, xb)
+    # epochs draw different augmentations
+    assert any(
+        not np.array_equal(xa, xb) for xa, xb in zip(a[0], a[1])
+    )
+
+
 def test_shard_indices():
     got = loader_mod.shard_indices(10, 1, 4)
     np.testing.assert_array_equal(got, [1, 5, 9])

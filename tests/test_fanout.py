@@ -1,0 +1,159 @@
+"""Single-process multi-device inference fan-out + the pipeline-wired
+model-sharded random walk.
+
+The reference keeps every GPU busy in the make stages by spawning one
+process per GPU (step/make_cam.py:71-74, make_sem_seg_labels.py:67-70);
+irn_tpu commits per-image programs to local devices round-robin inside one
+process. ``rw_mesh_model`` row-shards one image's transition matrix over
+the mesh instead (the long-context mode) — both must reproduce the
+single-device outputs exactly.
+"""
+
+import dataclasses
+import os
+
+import imageio.v2 as imageio
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from irn_tpu.data import synthetic, voc12
+from irn_tpu.models.irn import IRNet
+from irn_tpu.pipeline import common
+from irn_tpu.pipeline.config import Config
+from irn_tpu.pipeline.stages_irn import (
+    EdgeDisplacementRunner,
+    RandomWalkRunner,
+    make_sem_seg_labels,
+)
+from irn_tpu.utils import checkpoint as ckpt
+
+
+def test_device_spreader_round_robin():
+    spread = common.DeviceSpreader()
+    assert len(spread) == len(jax.local_devices())
+    for i in range(2 * len(spread)):
+        spread(i)
+    assert all(v == 2 for v in spread.assigned.values())
+    # capped variant
+    two = common.DeviceSpreader(2)
+    assert len(two) == 2
+
+
+def _tiny_irn_variables():
+    model = IRNet()
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32)
+    )
+    return jax.tree.map(np.asarray, variables)
+
+
+def test_edge_runner_commits_to_each_device(rng):
+    cfg = Config(rw_grid_cap=16)
+    runner = EdgeDisplacementRunner(cfg, _tiny_irn_variables())
+    img = rng.integers(0, 255, (50, 60, 3)).astype(np.uint8)
+    ref = None
+    for d in jax.local_devices():
+        edge, dp, _ = runner(img, img.shape[:2], device=d)
+        assert edge.devices() == {d}
+        assert dp.devices() == {d}
+        e, p = np.asarray(edge), np.asarray(dp)
+        if ref is None:
+            ref = (e, p)
+        else:
+            np.testing.assert_array_equal(e, ref[0])
+            np.testing.assert_array_equal(p, ref[1])
+
+
+def test_walker_round_robin_matches_default(rng):
+    cfg = Config(rw_grid_cap=16, exp_times=3, rw_radius=2)
+    walker = RandomWalkRunner(cfg, n_seed_rows=4)
+    h4 = w4 = 14
+    size = (54, 54)
+    edge = np.ones((16, 16), np.float32)
+    edge[:h4, :w4] = rng.random((h4, w4)).astype(np.float32)
+    cams = rng.random((3, h4, w4)).astype(np.float32)
+
+    want_l, want_r = walker(cams, jnp.asarray(edge), h4, w4, size, 0.25)
+    for d in jax.local_devices():
+        got_l, got_r = walker(
+            cams, jax.device_put(jnp.asarray(edge), d), h4, w4, size, 0.25,
+            device=d,
+        )
+        assert got_l.devices() == {d}
+        np.testing.assert_array_equal(np.asarray(got_l), np.asarray(want_l))
+        np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
+
+
+def test_walker_mesh_model_parity(rng):
+    """rw_mesh_model=8: row-sharded transition power produces the same
+    labels (bit-equal) and scores as the single-device walker."""
+    base = dict(rw_grid_cap=16, exp_times=3, rw_radius=2)
+    w1 = RandomWalkRunner(Config(**base), n_seed_rows=4)
+    w8 = RandomWalkRunner(Config(rw_mesh_model=8, **base), n_seed_rows=4)
+    assert w8.mesh is not None and w8.mesh.shape["model"] == 8
+
+    h4, w4 = 14, 12
+    size = (54, 46)
+    edge = np.ones((16, 16), np.float32)
+    edge[:h4, :w4] = rng.random((h4, w4)).astype(np.float32)
+    cams = rng.random((3, h4, w4)).astype(np.float32)
+
+    l1, r1 = w1(cams, jnp.asarray(edge), h4, w4, size, 0.25)
+    l8, r8 = w8(cams, jnp.asarray(edge), h4, w4, size, 0.25)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l8))
+    np.testing.assert_allclose(
+        np.asarray(r8), np.asarray(r1), atol=1e-6, rtol=1e-6
+    )
+
+
+def _stage_tree(tmp_path, rng):
+    root = str(tmp_path / "voc")
+    train, _ = synthetic.generate(
+        root, n_images=4, size=48, max_side_jitter=8, seed=2
+    )
+    cam_dir = str(tmp_path / "cam")
+    os.makedirs(cam_dir)
+    weights = str(tmp_path / "irn.ckpt")
+    ckpt.save_checkpoint(weights, _tiny_irn_variables())
+    for name in voc12.load_img_name_list(train):
+        img = np.asarray(
+            imageio.imread(os.path.join(root, "JPEGImages", name + ".jpg"))
+        )
+        h4 = (img.shape[0] - 1) // 4 + 1
+        w4 = (img.shape[1] - 1) // 4 + 1
+        k = int(rng.integers(1, 3))
+        keys = np.sort(rng.choice(20, size=k, replace=False)).astype(np.int64)
+        np.save(
+            os.path.join(cam_dir, name + ".npy"),
+            {"keys": keys, "cam": rng.random((k, h4, w4)).astype(np.float32),
+             "high_res": None},
+        )
+    return Config(
+        voc12_root=root, train_list=train, infer_list=train,
+        rw_grid_cap=16, exp_times=2, rw_radius=2,
+        cam_out_dir=cam_dir, irn_weights_name=weights,
+    ).resolve()
+
+
+def test_make_sem_seg_fanout_and_mesh_identical(tmp_path, rng):
+    cfg = _stage_tree(tmp_path, rng)
+    outs = {}
+    for tag, kw in {
+        "one": dict(infer_devices=1),
+        "all": dict(infer_devices=0),
+        "mesh": dict(rw_mesh_model=8),
+    }.items():
+        c = dataclasses.replace(
+            cfg, sem_seg_out_dir=str(tmp_path / ("sem_" + tag)), **kw
+        )
+        make_sem_seg_labels(c)
+        outs[tag] = {
+            n: np.asarray(
+                imageio.imread(os.path.join(c.sem_seg_out_dir, n + ".png"))
+            )
+            for n in voc12.load_img_name_list(cfg.train_list)
+        }
+    for tag in ("all", "mesh"):
+        for n, want in outs["one"].items():
+            np.testing.assert_array_equal(outs[tag][n], want, err_msg=(tag, n))
