@@ -178,6 +178,69 @@ def transition_matrix(
     )
 
 
+def build_transition(
+    geom: RandomWalkGeometry,
+    edge_capped: jax.Array,
+    beta: int = 10,
+    exp_times: int = 8,
+    matmul_dtype: Optional[jnp.dtype] = None,
+    mesh=None,
+) -> jax.Array:
+    """T^(2^e) from the edge map — seed-independent, so chunked seed
+    propagation builds it once per image and reuses it for every chunk.
+
+    With ``mesh`` (a Mesh with a >1 "model" axis) the matrix is block-row
+    sharded for every squaring and gathered replicated at the end, so the
+    subsequent seed dots keep the single-device reduction order (decoded
+    labels stay bit-identical)."""
+    sharding = None
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec("model", None))
+    t = transition_matrix(
+        dense_affinity(geom, edge_capped), beta, exp_times, matmul_dtype,
+        sharding=sharding,
+    )
+    if sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        t = jax.lax.with_sharding_constraint(
+            t, NamedSharding(mesh, PartitionSpec(None, None))
+        )
+    return t
+
+
+def propagate_with_transition(
+    geom: RandomWalkGeometry,
+    cam_capped: jax.Array,
+    edge_capped: jax.Array,
+    t: jax.Array,
+    matmul_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """Boundary-damp the seeds and propagate through a prebuilt T."""
+    r = geom.radius
+    ch, cw = geom.cap
+    c = cam_capped.shape[0]
+    damped = cam_capped * (1.0 - edge_capped)[None]
+    seeds = jnp.zeros((c, geom.padded[0], geom.padded[1]), jnp.float32)
+    seeds = seeds.at[:, :ch, r : r + cw].set(damped)
+    seeds_flat = seeds.reshape(c, geom.n_vertices)
+    seeds_flat = jnp.pad(seeds_flat, ((0, 0), (0, geom.n_pad - geom.n_vertices)))
+
+    if matmul_dtype is not None:
+        rw = jnp.dot(
+            seeds_flat.astype(matmul_dtype),
+            t.astype(matmul_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        # right-multiplication x @ T (indexing.py:164)
+        rw = jnp.dot(seeds_flat, t, precision=jax.lax.Precision.HIGHEST)
+    rw = rw[:, : geom.n_vertices].reshape(c, *geom.padded)
+    return rw[:, :ch, r : r + cw]
+
+
 def propagate(
     geom: RandomWalkGeometry,
     cam_capped: jax.Array,
@@ -200,45 +263,32 @@ def propagate(
     Returns:
       [C, cap_h, cap_w] propagated scores (zero beyond extent).
     """
-    sharding = None
-    if mesh is not None and mesh.shape.get("model", 1) > 1:
-        from jax.sharding import NamedSharding, PartitionSpec
+    t = build_transition(geom, edge_capped, beta, exp_times, matmul_dtype,
+                         mesh)
+    return propagate_with_transition(geom, cam_capped, edge_capped, t,
+                                     matmul_dtype)
 
-        sharding = NamedSharding(mesh, PartitionSpec("model", None))
-    t = transition_matrix(
-        dense_affinity(geom, edge_capped), beta, exp_times, matmul_dtype,
-        sharding=sharding,
-    )
 
-    r = geom.radius
-    ch, cw = geom.cap
-    c = cam_capped.shape[0]
-    damped = cam_capped * (1.0 - edge_capped)[None]
-    seeds = jnp.zeros((c, geom.padded[0], geom.padded[1]), jnp.float32)
-    seeds = seeds.at[:, :ch, r : r + cw].set(damped)
-    seeds_flat = seeds.reshape(c, geom.n_vertices)
-    seeds_flat = jnp.pad(seeds_flat, ((0, 0), (0, geom.n_pad - geom.n_vertices)))
+def upsample_scores(
+    rw_capped: jax.Array,
+    h4: jax.Array,
+    w4: jax.Array,
+    h0: jax.Array,
+    w0: jax.Array,
+) -> jax.Array:
+    """x4 bilinear upsample of propagated scores with dynamic extents.
 
-    if sharding is not None:
-        # gather T for the final (cheap) seed propagation: a replicated
-        # full-k dot keeps the reduction order — and hence the decoded
-        # labels — identical to the single-device path
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        t = jax.lax.with_sharding_constraint(
-            t, NamedSharding(mesh, PartitionSpec(None, None))
-        )
-    if matmul_dtype is not None:
-        rw = jnp.dot(
-            seeds_flat.astype(matmul_dtype),
-            t.astype(matmul_dtype),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        # right-multiplication x @ T (indexing.py:164)
-        rw = jnp.dot(seeds_flat, t, precision=jax.lax.Precision.HIGHEST)
-    rw = rw[:, : geom.n_vertices].reshape(c, *geom.padded)
-    return rw[:, :ch, r : r + cw]
+    The grid-valid region is (h4, w4) stride-4 cells; the pixel-valid
+    region is (h0, w0). Returns [C, 4H, 4W] un-normalized scores, zero
+    beyond (h0, w0). Normalized (mask-weighted) bilinear reproduces
+    clamped-border bilinear exactly for axis-aligned valid regions."""
+    c, ch, cw = rw_capped.shape
+    m4 = _extent_mask(h4, w4, (ch, cw))
+    rw_up = resize_bilinear_chw(rw_capped * m4[None], (4 * ch, 4 * cw))
+    m_up = resize_bilinear_chw(m4, (4 * ch, 4 * cw))
+    rw_up = jnp.where(m_up > 1e-6, rw_up / jnp.maximum(m_up, 1e-6), 0.0)
+    pix = _extent_mask(h0, w0, (4 * ch, 4 * cw))
+    return rw_up * pix[None]
 
 
 def upsample_and_decode(
@@ -251,23 +301,16 @@ def upsample_and_decode(
 ) -> Tuple[jax.Array, jax.Array]:
     """x4 bilinear upsample, max-normalize, bg-threshold-pad, argmax.
 
-    Matches step/make_sem_seg_labels.py:44-47 with dynamic true extents:
-    the grid-valid region is (h4, w4) stride-4 cells; the pixel-valid region
-    is (h0, w0). Returns (labels [4H, 4W] int32 where 0 = background and
-    k >= 1 means seed channel k-1; rw_up [C, 4H, 4W] max-normalized
-    upsampled scores — the per-instance score source for detection,
+    Matches step/make_sem_seg_labels.py:44-47 with dynamic true extents.
+    Returns (labels [4H, 4W] int32 where 0 = background and k >= 1 means
+    seed channel k-1; rw_up [C, 4H, 4W] max-normalized upsampled scores —
+    the per-instance score source for detection,
     make_ins_seg_labels.py:137-149; max_score scalar).
     Out-of-extent pixels decode to background.
     """
     c, ch, cw = rw_capped.shape
-    m4 = _extent_mask(h4, w4, (ch, cw))
-    rw_up = resize_bilinear_chw(rw_capped * m4[None], (4 * ch, 4 * cw))
-    m_up = resize_bilinear_chw(m4, (4 * ch, 4 * cw))
-    # normalized bilinear == clamped-border bilinear for axis-aligned extents
-    rw_up = jnp.where(m_up > 1e-6, rw_up / jnp.maximum(m_up, 1e-6), 0.0)
-
+    rw_up = upsample_scores(rw_capped, h4, w4, h0, w0)
     pix = _extent_mask(h0, w0, (4 * ch, 4 * cw))
-    rw_up = rw_up * pix[None]
     max_score = jnp.max(rw_up)
     rw_up = rw_up / jnp.maximum(max_score, 1e-12)
     stacked = jnp.concatenate(

@@ -82,7 +82,11 @@ class Config:
     model_dtype: str = "float32"          # backbone compute dtype
     rw_matmul_dtype: str = "float32"      # 'float32' | 'bfloat16'
     rw_grid_cap: int = 128                # stride-4 cells (=512px images)
-    ins_seed_cap: int = 128               # max (instance x class) seed rows
+    ins_seed_cap: int = 128               # (instance x class) seed rows per
+                                          # random-walk chunk — NOT a cap:
+                                          # images with more seeds stream
+                                          # extra chunks through the same
+                                          # program (T is seed-independent)
     pad_multiple: int = 64                # inference shape bucketing
     compile_cache_dir: str = ""
     overwrite: bool = False               # rerun stages over existing outputs

@@ -258,10 +258,113 @@ class RandomWalkRunner:
                 labels, rw_up, _ = rw_mod.upsample_and_decode(
                     rw, h4, w4, h0, w0, bg_thres
                 )
-                return labels, rw_up
+                # best: the per-pixel winning score (= rw_up[argmax row]),
+                # all any consumer needs for per-component scores — see
+                # propagate_all
+                return labels, jnp.max(rw_up, axis=0)
 
             self._programs[key] = run
             return run
+
+    def _chunk_programs(self, cap_h: int, cap_w: int):
+        """Programs for the uncapped (chunked) seed path: T built once from
+        the edge map, then fixed-size row chunks propagate/upsample with an
+        incremental per-pixel (max value, argmax row) combine — memory and
+        compile shapes stay bounded for any seed-row count."""
+        key = ("chunk", cap_h, cap_w)
+        with self._lock:
+            if key in self._programs:
+                return self._programs[key]
+            geom = rw_mod.build_geometry(cap_h, cap_w, radius=self.radius)
+            mesh = self.mesh
+
+            @jax.jit
+            def build_t(edge: jax.Array):
+                return rw_mod.build_transition(
+                    geom, edge, beta=self.beta, exp_times=self.exp_times,
+                    matmul_dtype=self.mm_dtype, mesh=mesh,
+                )
+
+            @jax.jit
+            def chunk(cam, edge, t, h4, w4, h0, w0, row0, best_val, best_row):
+                rw = rw_mod.propagate_with_transition(
+                    geom, cam, edge, t, matmul_dtype=self.mm_dtype
+                )
+                rw_up = rw_mod.upsample_scores(rw, h4, w4, h0, w0)
+                v = jnp.max(rw_up, axis=0)
+                r = jnp.argmax(rw_up, axis=0).astype(jnp.int32) + row0
+                # strict >: earlier chunks (lower rows) win ties, matching
+                # the fused path's single argmax tie-breaking
+                take = v > best_val
+                return (
+                    jnp.where(take, v, best_val),
+                    jnp.where(take, r, best_row),
+                    jnp.max(rw_up),
+                )
+
+            @jax.jit
+            def decode(best_val, best_row, gmax, bg_thres):
+                # same division the fused decode performs (rw_up/max_score
+                # then argmax vs the bg_thres plane), so marginal pixels
+                # decode identically
+                norm = best_val / jnp.maximum(gmax, 1e-12)
+                labels = jnp.where(
+                    norm > bg_thres, best_row + 1, 0
+                ).astype(jnp.int32)
+                return labels, norm
+
+            progs = (build_t, chunk, decode)
+            self._programs[key] = progs
+            return progs
+
+    def propagate_all(self, cam_rows: np.ndarray, edge: jax.Array,
+                      h4: int, w4: int, size: Tuple[int, int],
+                      bg_thres: float, device=None):
+        """Uncapped variant of ``__call__``: any number of seed rows.
+
+        K <= n_rows runs the fused single program; larger K builds T once
+        and streams ceil(K / n_rows) seed chunks through it (T is
+        seed-independent, misc/indexing.py:132-139, so the chunked labels
+        equal the unchunked ones exactly). Returns (labels [4ch, 4cw]
+        int32, best [4ch, 4cw] winning score / global max)."""
+        k = cam_rows.shape[0]
+        if k <= self.n_rows:
+            return self(cam_rows, edge, h4, w4, size, bg_thres, device=device)
+
+        ch = self._bucket(h4)
+        cw = self._bucket(w4)
+        build_t, chunk, decode = self._chunk_programs(ch, cw)
+        edge_b = jnp.asarray(edge)[:ch, :cw]
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            edge_b = jax.device_put(
+                edge_b, NamedSharding(self.mesh, PartitionSpec())
+            )
+        elif device is not None:
+            edge_b = jax.device_put(edge_b, device)
+        t = build_t(edge_b)
+
+        best_val = jnp.zeros((4 * ch, 4 * cw), jnp.float32)
+        best_row = jnp.zeros((4 * ch, 4 * cw), jnp.int32)
+        if device is not None and self.mesh is None:
+            best_val = jax.device_put(best_val, device)
+            best_row = jax.device_put(best_row, device)
+        gmax = jnp.float32(0.0)
+        for row0 in range(0, k, self.n_rows):
+            cam = np.zeros((self.n_rows, ch, cw), np.float32)
+            rows = cam_rows[row0 : row0 + self.n_rows]
+            cam[: rows.shape[0], :h4, :w4] = rows
+            cam_in = jnp.asarray(cam)
+            if device is not None and self.mesh is None:
+                cam_in = jax.device_put(cam_in, device)
+            best_val, best_row, cmax = chunk(
+                cam_in, edge_b, t, jnp.int32(h4), jnp.int32(w4),
+                jnp.int32(size[0]), jnp.int32(size[1]), jnp.int32(row0),
+                best_val, best_row,
+            )
+            gmax = jnp.maximum(gmax, cmax)
+        return decode(best_val, best_row, gmax, jnp.float32(bg_thres))
 
     def _bucket(self, x: int) -> int:
         b = ((x + self.BUCKET - 1) // self.BUCKET) * self.BUCKET
@@ -413,43 +516,27 @@ def make_ins_seg_labels(cfg: Config) -> None:
         num_instances = instance_map.shape[0]
 
         seeds = cent_mod.mask_scores_by_instance(cams, instance_map)
-        if seeds.shape[0] > cfg.ins_seed_cap:
-            print(
-                f"WARNING {name}: {seeds.shape[0]} instance seeds exceed "
-                f"ins_seed_cap={cfg.ins_seed_cap}; truncating"
-            )
-            seeds = seeds[: cfg.ins_seed_cap]
-        labels, rw_up = walker(
+        # no seed cap: propagate_all streams any (instances x classes) row
+        # count through a fixed-shape chunk program (T is seed-independent)
+        labels, best = walker.propagate_all(
             seeds, edge, h4, w4, size, cfg.ins_seg_bg_thres, device=dev
         )
 
-        # Only the int label map crosses device->host; per-component scores
-        # are reduced on device (rw_up is [n_rows, 4ch, 4cw] and never
-        # fetched — 1 MB instead of ~67 MB per image).
+        # Only the int label map + the [4ch, 4cw] winning-score map cross
+        # device->host (~1 MB, vs the [n_rows, 4ch, 4cw] score volume). At
+        # any pixel a component owns, its row IS the per-pixel argmax, so
+        # the winning-score map carries every per-component max.
         labels_full = np.asarray(labels)  # [4ch, 4cw]; 0 beyond extent
+        best_np = np.asarray(best)
         n_rows = seeds.shape[0]
-        instance_class_id = np.repeat(keys, num_instances)[:n_rows]
+        instance_class_id = np.repeat(keys, num_instances)
 
         comp_map, comp_rows, comp_sizes = cent_mod.split_components(
             labels_full, n_rows
         )
         k_comps = comp_rows.shape[0]
-        if k_comps > cent_mod.MAX_COMPONENTS:
-            print(
-                f"WARNING {name}: {k_comps} components exceed "
-                f"{cent_mod.MAX_COMPONENTS}; truncating"
-            )
-            comp_map = np.where(comp_map <= cent_mod.MAX_COMPONENTS, comp_map, 0)
-            comp_rows = comp_rows[: cent_mod.MAX_COMPONENTS]
-            comp_sizes = comp_sizes[: cent_mod.MAX_COMPONENTS]
-            k_comps = cent_mod.MAX_COMPONENTS
-        rows_vec = np.zeros(cent_mod.MAX_COMPONENTS + 1, np.int32)
-        rows_vec[1 : k_comps + 1] = comp_rows
-        scores_all = np.asarray(
-            cent_mod.component_scores(
-                rw_up, jnp.asarray(comp_map), jnp.asarray(rows_vec)
-            )
-        )
+        scores_all = np.zeros(k_comps + 1, np.float32)
+        np.maximum.at(scores_all, comp_map.reshape(-1), best_np.reshape(-1))
 
         max_fragment = size[0] * size[1] * 0.01
         pred_score, pred_mask, pred_class = [], [], []

@@ -107,6 +107,29 @@ def test_walker_mesh_model_parity(rng):
     )
 
 
+def test_propagate_all_chunked_matches_fused(rng):
+    """Uncapped seed rows: chunked streaming through a prebuilt T equals a
+    single fused propagation of all rows (labels bit-equal)."""
+    base = dict(rw_grid_cap=16, exp_times=3, rw_radius=2)
+    chunked = RandomWalkRunner(Config(**base), n_seed_rows=4)
+    fused = RandomWalkRunner(Config(**base), n_seed_rows=16)
+
+    h4, w4 = 14, 12
+    size = (54, 46)
+    edge = np.ones((16, 16), np.float32)
+    edge[:h4, :w4] = rng.random((h4, w4)).astype(np.float32)
+    seeds = rng.random((10, h4, w4)).astype(np.float32)  # 10 > 4: 3 chunks
+
+    lc, bc = chunked.propagate_all(
+        seeds, jnp.asarray(edge), h4, w4, size, 0.25
+    )
+    lf, bf = fused(seeds, jnp.asarray(edge), h4, w4, size, 0.25)
+    np.testing.assert_array_equal(np.asarray(lc), np.asarray(lf))
+    np.testing.assert_allclose(
+        np.asarray(bc), np.asarray(bf), atol=1e-6, rtol=1e-6
+    )
+
+
 def _stage_tree(tmp_path, rng):
     root = str(tmp_path / "voc")
     train, _ = synthetic.generate(
