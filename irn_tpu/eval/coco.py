@@ -1,9 +1,11 @@
 """COCO-format export of instance pseudo-labels (make_cocoann capability).
 
-Replaces pycococreatortools (step/make_cocoann.py): builds image records and
-RLE-segmentation annotations from the ins_seg stage outputs. Divergence
-from the reference (documented): segmentations are uncompressed COCO RLE
-rather than polygons — valid COCO, no skimage dependency."""
+Replaces pycococreatortools (step/make_cocoann.py): builds image records
+and annotations from the ins_seg stage outputs. Segmentations default to
+polygons traced from the masks (the reference's format —
+pycococreatortools ``create_annotation_info(..., tolerance=2)``,
+step/make_cocoann.py:38-46); uncompressed COCO RLE is available via
+``segmentation_format="rle"`` for consumers that prefer lossless masks."""
 
 from __future__ import annotations
 
@@ -14,6 +16,36 @@ import numpy as np
 
 from irn_tpu.data.voc12 import CAT_LIST
 from irn_tpu.ops.cc import rle_encode
+
+
+def binary_mask_to_polygons(
+    mask: np.ndarray, tolerance: float = 2.0
+) -> List[List[float]]:
+    """Trace a binary mask's boundaries into COCO polygons
+    [[x1, y1, x2, y2, ...], ...].
+
+    Mirrors pycococreatortools' binary_mask_to_polygon (skimage
+    find_contours on the zero-padded mask + approximate_polygon with
+    ``tolerance``): contours come from cv2.findContours on the padded
+    mask and are Douglas-Peucker simplified with cv2.approxPolyDP.
+    Degenerate (<3 point) rings are dropped; interior (hole) contours are
+    emitted as separate polygons, matching the reference tool's behavior.
+    """
+    import cv2
+
+    padded = np.pad(np.asarray(mask, np.uint8), 1)
+    contours, _ = cv2.findContours(
+        padded, cv2.RETR_LIST, cv2.CHAIN_APPROX_NONE
+    )
+    polygons: List[List[float]] = []
+    for contour in contours:
+        approx = cv2.approxPolyDP(contour, float(tolerance), True)
+        if approx.shape[0] < 3:
+            continue
+        pts = approx.reshape(-1, 2).astype(np.float64) - 1.0  # un-pad
+        pts = np.clip(pts, 0.0, None)
+        polygons.append(pts.reshape(-1).tolist())
+    return polygons
 
 
 def image_info(image_id: int, file_name: str, width: int, height: int) -> Dict:
@@ -38,7 +70,17 @@ def mask_bbox(mask: np.ndarray) -> List[float]:
 
 
 def annotation_info(ann_id: int, image_id: int, category_id: int,
-                    mask: np.ndarray, score: float | None = None) -> Dict:
+                    mask: np.ndarray, score: float | None = None,
+                    segmentation_format: str = "polygon",
+                    tolerance: float = 2.0) -> Dict | None:
+    if segmentation_format == "polygon":
+        seg = binary_mask_to_polygons(mask, tolerance)
+        if not seg:
+            # pycococreatortools returns None for untraceable masks and
+            # make_cocoann skips them
+            return None
+    else:
+        seg = rle_encode(mask)
     ann = {
         "id": ann_id,
         "image_id": image_id,
@@ -46,7 +88,7 @@ def annotation_info(ann_id: int, image_id: int, category_id: int,
         "iscrowd": 0,
         "area": float(mask.sum()),
         "bbox": mask_bbox(mask),
-        "segmentation": rle_encode(mask),
+        "segmentation": seg,
     }
     if score is not None:
         ann["score"] = float(score)
@@ -70,6 +112,7 @@ def export_instances(
     records: Sequence[Dict],
     out_path: str,
     score_floor: float = 1e-5,
+    segmentation_format: str = "polygon",
 ) -> Dict:
     """Write a COCO json from per-image instance records.
 
@@ -90,9 +133,13 @@ def export_instances(
         for score, mask, cls in zip(rec["score"], rec["mask"], rec["class"]):
             if score < score_floor:
                 continue
-            out["annotations"].append(
-                annotation_info(ann_id, img_id, int(cls) + 1, mask, float(score))
+            ann = annotation_info(
+                ann_id, img_id, int(cls) + 1, mask, float(score),
+                segmentation_format=segmentation_format,
             )
+            if ann is None:
+                continue
+            out["annotations"].append(ann)
             ann_id += 1
     with open(out_path, "w") as f:
         json.dump(out, f)

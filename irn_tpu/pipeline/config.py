@@ -73,6 +73,8 @@ class Config:
     sem_seg_out_dir: str = "result/sem_seg"
     ins_seg_out_dir: str = "result/ins_seg"
     coco_ann_path: str = "result/voc2012_train_custom.json"
+    coco_seg_format: str = "polygon"      # 'polygon' (reference parity,
+                                          # make_cocoann.py:38-46) | 'rle'
 
     # TPU-native knobs
     pretrained_backbone: str = ""

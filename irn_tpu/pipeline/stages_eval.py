@@ -104,7 +104,9 @@ def make_cocoann(cfg: Config):
         ins["name"] = name
         records.append(ins)
     os.makedirs(os.path.dirname(cfg.coco_ann_path) or ".", exist_ok=True)
-    out = coco.export_instances(records, cfg.coco_ann_path)
+    out = coco.export_instances(
+        records, cfg.coco_ann_path, segmentation_format=cfg.coco_seg_format
+    )
     print(
         f"wrote {cfg.coco_ann_path}: {len(out['images'])} images, "
         f"{len(out['annotations'])} annotations"

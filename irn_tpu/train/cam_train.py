@@ -7,7 +7,6 @@ all-reduce over ICI (replacing nn.DataParallel, train_cam.py:62)."""
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax
@@ -47,13 +46,3 @@ def make_eval_step(model: CAMNet):
         return multilabel_soft_margin_loss(logits, labels)
 
     return eval_step
-
-
-def make_cam_inference(model: CAMNet):
-    """Jitted raw-CAM forward for a [2N, H, W, 3] (orig, flip)* batch."""
-
-    @functools.partial(jax.jit, static_argnums=())
-    def infer(state_variables, images: jax.Array) -> jax.Array:
-        return model.apply(state_variables, images, method=model.cam)
-
-    return infer

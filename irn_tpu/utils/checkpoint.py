@@ -8,7 +8,7 @@ state and step travel with the weights, and stages can restart mid-epoch.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np
@@ -49,21 +49,3 @@ def load_orbax(path: str) -> Any:
 
     ckptr = ocp.PyTreeCheckpointer()
     return ckptr.restore(os.path.abspath(path))
-
-
-def latest_step_checkpoint(directory: str, prefix: str) -> Optional[str]:
-    """Find the highest-step checkpoint file ``<prefix>_<step>.ckpt``."""
-    if not os.path.isdir(directory):
-        return None
-    best = None
-    best_step = -1
-    for name in os.listdir(directory):
-        if name.startswith(prefix) and name.endswith(".ckpt"):
-            try:
-                step = int(name[len(prefix) + 1 : -5])
-            except ValueError:
-                continue
-            if step > best_step:
-                best_step = step
-                best = os.path.join(directory, name)
-    return best

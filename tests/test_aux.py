@@ -110,6 +110,20 @@ def test_train_resume_roundtrip(tmp_path):
     )
 
 
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from irn_tpu.utils import checkpoint as ckpt
+
+    tree = {
+        "params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        "step": np.int64(7),
+    }
+    path = str(tmp_path / "orbax_ckpt")
+    ckpt.save_orbax(path, tree)
+    back = ckpt.load_orbax(path)
+    np.testing.assert_array_equal(back["params"]["w"], tree["params"]["w"])
+    assert int(back["step"]) == 7
+
+
 def test_port_cli(tmp_path):
     torch = pytest.importorskip("torch")
     import subprocess

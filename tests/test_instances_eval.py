@@ -154,7 +154,7 @@ def test_coco_export_roundtrip(tmp_path, rng):
         "class": np.array([6]),
     }
     path = str(tmp_path / "ann.json")
-    coco.export_instances([rec], path)
+    coco.export_instances([rec], path, segmentation_format="rle")
     data = json.load(open(path))
     assert data["images"][0]["id"] == 2007000123
     ann = data["annotations"][0]
@@ -164,3 +164,63 @@ def test_coco_export_roundtrip(tmp_path, rng):
     back = cc.rle_decode(ann["segmentation"])
     np.testing.assert_array_equal(back.astype(bool), mask)
     assert len(data["categories"]) == 20
+
+
+def _rasterize_polygons(polys, shape):
+    # union semantics, as pycocotools merges a polygon list (fillPoly on
+    # the whole list would apply even-odd hole subtraction instead)
+    import cv2
+
+    out = np.zeros(shape, np.uint8)
+    for p in polys:
+        pts = np.round(np.asarray(p).reshape(-1, 2)).astype(np.int32)
+        cv2.fillPoly(out, [pts], 1)
+    return out.astype(bool)
+
+
+def test_coco_polygon_export(tmp_path, rng):
+    """Default export is polygon segmentations (reference parity,
+    make_cocoann.py:38-46) that rasterize back close to the mask."""
+    mask = np.zeros((40, 50), bool)
+    mask[5:30, 8:40] = True
+    mask[12:20, 15:30] = False  # hole
+    mask[0:6, 45:50] = True     # border-touching second blob
+    rec = {
+        "name": "2007_000456",
+        "size": (40, 50),
+        "score": np.array([0.9]),
+        "mask": mask[None],
+        "class": np.array([2]),
+    }
+    path = str(tmp_path / "ann_poly.json")
+    coco.export_instances([rec], path)
+    data = json.load(open(path))
+    seg = data["annotations"][0]["segmentation"]
+    assert isinstance(seg, list) and all(
+        isinstance(p, list) and len(p) >= 6 and len(p) % 2 == 0 for p in seg
+    )
+    xs = np.concatenate([np.asarray(p)[0::2] for p in seg])
+    ys = np.concatenate([np.asarray(p)[1::2] for p in seg])
+    assert xs.min() >= 0 and ys.min() >= 0
+    assert xs.max() <= 50 and ys.max() <= 40
+    # outer rings rasterize back to (at least) the mask region; holes are
+    # filled by COCO's polygon union semantics (as with pycococreatortools)
+    back = _rasterize_polygons(seg, mask.shape)
+    filled = mask.copy()
+    filled[12:20, 15:30] = True
+    inter = (back & filled).sum()
+    union = (back | filled).sum()
+    assert inter / union > 0.9, inter / union
+
+
+def test_binary_mask_to_polygons_degenerate():
+    # single-pixel mask simplifies below 3 points -> no polygons, and the
+    # annotation is skipped like pycococreatortools' None return
+    tiny = np.zeros((5, 5), bool)
+    tiny[2, 2] = True
+    assert coco.binary_mask_to_polygons(tiny) == [] or all(
+        len(p) >= 6 for p in coco.binary_mask_to_polygons(tiny)
+    )
+    assert (
+        coco.annotation_info(1, 1, 1, np.zeros((4, 4), bool)) is None
+    )
