@@ -28,6 +28,30 @@ pytestmark = [pytest.mark.slow, requires_reference]
 SCALES = (1.0, 0.5)
 
 
+def _stub_skimage():
+    """step/make_ins_seg_labels.py needs skimage.measure.label (not
+    installed); scipy.ndimage.label with a 4-connectivity structure is the
+    same algorithm (connectivity=1, background=0)."""
+    import types
+
+    from scipy import ndimage
+
+    if "skimage" in sys.modules:
+        return
+    four = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+
+    def label(x, connectivity=1, background=0):
+        assert connectivity == 1 and background == 0
+        return ndimage.label(np.asarray(x) != background, structure=four)[0]
+
+    pkg = types.ModuleType("skimage")
+    measure = types.ModuleType("skimage.measure")
+    measure.label = label
+    pkg.measure = measure
+    sys.modules["skimage"] = pkg
+    sys.modules["skimage.measure"] = measure
+
+
 def _stub_pydensecrf():
     """misc/imutils.py imports pydensecrf at module scope; only its resize
     helpers are used here, so stub the CRF modules (not installed)."""
@@ -75,6 +99,24 @@ def ref_env():
     from misc import imutils as ref_imutils
     from misc import indexing as ref_indexing
 
+    # step/make_ins_seg_labels.py imports voc12.dataloader, which np.loads
+    # voc12/cls_labels.npy relative to the CWD at import time
+    _stub_skimage()
+    import tempfile
+
+    shim = tempfile.mkdtemp()
+    os.makedirs(os.path.join(shim, "voc12"), exist_ok=True)
+    np.save(
+        os.path.join(shim, "voc12", "cls_labels.npy"),
+        {2007000000: np.zeros(20, np.float32)},
+    )
+    cwd = os.getcwd()
+    os.chdir(shim)
+    try:
+        from step import make_ins_seg_labels as ref_ins
+    finally:
+        os.chdir(cwd)
+
     # voc12/dataloader.py np.loads cls_labels.npy at import time, so its
     # TorchvisionNormalize (dataloader.py:65-78) is restated here
     def normalize(img, mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)):
@@ -89,6 +131,7 @@ def ref_env():
         irn_mod=resnet50_irn,
         imutils=ref_imutils,
         indexing=ref_indexing,
+        ins=ref_ins,
         normalize=normalize,
     )
     torch.Tensor.cuda = orig_cuda
@@ -207,6 +250,54 @@ def _ref_make_sem_seg(env, tree, names, ed_net, cam_dir, out_dir, bg=0.25):
             )
 
 
+def _ref_make_ins_seg(env, tree, names, ed_net, cam_dir, out_dir, bg=0.25):
+    """The body of step/make_ins_seg_labels.py:118-152 on CPU."""
+    os.makedirs(out_dir, exist_ok=True)
+    import torch.nn.functional as F
+
+    from misc import pyutils as ref_pyutils
+
+    with torch.no_grad():
+        for name in names:
+            img = _read(tree, name)
+            size = np.asarray(img.shape[:2])
+            norm = env.normalize(img)
+            pair = np.stack([norm, np.flip(norm, -2)], axis=0)
+            pair = torch.from_numpy(
+                np.ascontiguousarray(pair.transpose(0, 3, 1, 2))
+            )
+            edge, dp = ed_net(pair)
+            dp = dp.numpy()
+            cam_dict = np.load(
+                os.path.join(cam_dir, name + ".npy"), allow_pickle=True
+            ).item()
+            cams = torch.from_numpy(np.asarray(cam_dict["cam"], np.float32))
+            keys = np.asarray(cam_dict["keys"])
+            centroids = env.ins.find_centroids_with_refinement(dp)
+            instance_map = env.ins.cluster_centroids(centroids, dp)
+            instance_cam = env.ins.separte_score_by_mask(cams, instance_map)
+            rw = env.indexing.propagate_to_edge(
+                instance_cam, edge, beta=10, exp_times=8, radius=5
+            )
+            rw_up = F.interpolate(
+                rw, scale_factor=4, mode="bilinear", align_corners=False
+            )[:, 0, : size[0], : size[1]]
+            rw_up = rw_up / torch.max(rw_up)
+            rw_up_bg = F.pad(rw_up, (0, 0, 0, 0, 1, 0), value=bg)
+            num_classes = len(keys)
+            num_instances = instance_map.shape[0]
+            instance_shape = torch.argmax(rw_up_bg, 0).numpy()
+            instance_shape = ref_pyutils.to_one_hot(
+                instance_shape, maximum_val=num_instances * num_classes + 1
+            )[1:]
+            instance_class_id = np.repeat(keys, num_instances)
+            detected = env.ins.detect_instance(
+                rw_up.numpy(), instance_shape, instance_class_id,
+                max_fragment_size=size[0] * size[1] * 0.01,
+            )
+            np.save(os.path.join(out_dir, name + ".npy"), detected)
+
+
 @pytest.fixture(scope="module")
 def artifacts(ref_env, tree, tmp_path_factory):
     """Run both frameworks' make_cam + make_sem_seg over the tree."""
@@ -244,19 +335,35 @@ def artifacts(ref_env, tree, tmp_path_factory):
         cam_scales=SCALES, cam_weights_name=cam_w, irn_weights_name=irn_w,
         cam_out_dir=str(work / "cam_ours"),
         sem_seg_out_dir=str(work / "sem_ours"),
+        ins_seg_out_dir=str(work / "ins_ours"),
         rw_grid_cap=16, pad_multiple=16,
     ).resolve()
     os.makedirs(cfg.cam_out_dir, exist_ok=True)
     stages_cam.make_cam(cfg)
     stages_irn.make_sem_seg_labels(cfg)
+    stages_irn.make_ins_seg_labels(cfg)
 
     ref_cam_dir = str(work / "cam_ref")
     ref_sem_dir = str(work / "sem_ref")
+    ref_ins_dir = str(work / "ins_ref")
     _ref_make_cam(ref_env, tree, names, labels, cam_net, ref_cam_dir)
-    _ref_make_sem_seg(ref_env, tree, names, ed_net, ref_cam_dir, ref_sem_dir)
+    # The label stages read OUR cam artifacts on both sides: with random
+    # (untrained) nets the per-class random-walk scores are near-ties, so
+    # chaining each side's own ~1e-6-different cams through T^256 + global
+    # max-normalization can flip a whole uniform image's argmax — a
+    # knife-edge artifact of random weights, not a fidelity signal. The cam
+    # stage itself is diffed above; the sem/ins diffs isolate their stages
+    # on identical inputs.
+    _ref_make_sem_seg(
+        ref_env, tree, names, ed_net, cfg.cam_out_dir, ref_sem_dir
+    )
+    _ref_make_ins_seg(
+        ref_env, tree, names, ed_net, cfg.cam_out_dir, ref_ins_dir
+    )
 
     return SimpleNamespace(
-        names=names, cfg=cfg, ref_cam_dir=ref_cam_dir, ref_sem_dir=ref_sem_dir
+        names=names, cfg=cfg, ref_cam_dir=ref_cam_dir,
+        ref_sem_dir=ref_sem_dir, ref_ins_dir=ref_ins_dir,
     )
 
 
@@ -300,3 +407,41 @@ def test_make_sem_seg_artifact_diff(artifacts):
     rate = agree / total
     print(f"sem_seg label agreement: {rate:.6f} ({agree}/{total})")
     assert rate >= 0.99, rate
+
+
+def test_make_ins_seg_artifact_diff(artifacts):
+    """Every reference instance (class, mask, score) has an exact match in
+    our detections, and vice versa (instance ordering may differ)."""
+    n_ref = n_ours = 0
+    for name in artifacts.names:
+        ours = np.load(
+            os.path.join(artifacts.cfg.ins_seg_out_dir, name + ".npy"),
+            allow_pickle=True,
+        ).item()
+        ref = np.load(
+            os.path.join(artifacts.ref_ins_dir, name + ".npy"),
+            allow_pickle=True,
+        ).item()
+        assert len(ours["score"]) == len(ref["score"]), name
+        n_ref += len(ref["score"])
+        n_ours += len(ours["score"])
+        used = set()
+        for score, mask, cls in zip(ref["score"], ref["mask"], ref["class"]):
+            found = None
+            for j in range(len(ours["score"])):
+                if j in used:
+                    continue
+                if int(ours["class"][j]) != int(cls):
+                    continue
+                if not np.array_equal(
+                    np.asarray(ours["mask"][j], bool), np.asarray(mask, bool)
+                ):
+                    continue
+                if abs(float(ours["score"][j]) - float(score)) > 2e-3:
+                    continue
+                found = j
+                break
+            assert found is not None, (name, int(cls), float(score))
+            used.add(found)
+    print(f"ins_seg instances matched exactly: {n_ref} ref vs {n_ours} ours")
+    assert n_ref == n_ours
