@@ -90,6 +90,11 @@ class Config:
                                           # extra chunks through the same
                                           # program (T is seed-independent)
     pad_multiple: int = 64                # inference shape bucketing
+    cam_infer_batch: int = 16             # make_cam: stack this many
+                                          # same-size images per scale pass
+                                          # (feeds the MXU; 1 = per-image;
+                                          # v5e sweep: 16.8/46.7/77/81 img/s
+                                          # at k=1/8/16/32 — 16 is the knee)
     compile_cache_dir: str = ""
     overwrite: bool = False               # rerun stages over existing outputs
     mesh_data: int = 0                    # 0 = all devices

@@ -157,50 +157,53 @@ def train_cam(cfg: Config) -> None:
     print(f"saved {cfg.cam_weights_name}")
 
 
-def make_cam(cfg: Config) -> None:
-    """Multi-scale flipped CAM inference (step/make_cam.py).
+def _chunk_sizes(m: int, cap: int):
+    """Decompose ``m`` into chunk sizes <= cap: full ``cap`` chunks, then a
+    power-of-two tail so the number of distinct compiled batch shapes stays
+    O(log cap) instead of O(cap)."""
+    out = []
+    while m >= cap:
+        out.append(cap)
+        m -= cap
+    while m:
+        k = 1 << (m.bit_length() - 1)
+        out.append(k)
+        m -= k
+    return out
 
-    Fully device-resident per image: each scale's padded (orig, flip) pair
-    runs one bucketed CAM forward; flip fusion (dynamic roll), the resizes
-    to the stride-4 and strided-up grids (dynamic-extent bilinear), the
-    cross-scale sums, and per-class max-normalization all happen on device.
-    Only the K present classes' final maps cross device->host."""
+
+def build_cam_scale_pass(model: CAMNet, variables, s4_cap: int, su_cap: int):
+    """One-scale CAM pass builder, cached per (padded shape, batch size).
+
+    The returned ``scale_pass(ph, pw, k)`` jits: uint8 normalize + pad-mask,
+    flip-pair stacking, the [2k] CAM forward, flip fusion (dynamic roll),
+    dynamic-extent resizes to the stride-4 / strided-up grids, and
+    accumulation into the cross-scale sums. Shared by make_cam and the
+    throughput bench (tools/bench_make_cam.py)."""
     from irn_tpu.ops.resize import resize_bilinear_dynamic
-
-    labels = _label_dict(cfg)
-    ds = voc12.ClassificationDataset(
-        cfg.infer_list, cfg.voc12_root, labels, img_normal=False
-    )
-    model = CAMNet(dtype=jnp.dtype(cfg.model_dtype))
-    variables = ckpt.load_checkpoint(cfg.cam_weights_name)
-    os.makedirs(cfg.cam_out_dir, exist_ok=True)
-
-    s4_cap = cfg.rw_grid_cap                      # stride-4 grid cap
-    su_cap = cfg.rw_grid_cap * 4                  # strided-up (<= orig) cap
-    n_cls = 20
 
     mean = jnp.asarray(T.IMAGENET_MEAN)
     std = jnp.asarray(T.IMAGENET_STD)
 
     @functools.lru_cache(maxsize=None)
-    def scale_pass(ph: int, pw: int):
+    def scale_pass(ph: int, pw: int, k: int):
         @jax.jit
         def run(img_u8, sh, sw, vh, vw, s4h, s4w, suh, suw, oh, ow,
                 s_acc, h_acc):
-            # uint8 upload; normalize + pad-mask + flip pair on device
+            # uint8 upload; normalize + pad-mask + flip pairs on device
             x = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
-            pr = jax.lax.broadcasted_iota(jnp.int32, x.shape[:2], 0)
-            pc = jax.lax.broadcasted_iota(jnp.int32, x.shape[:2], 1)
-            x = jnp.where(((pr < sh) & (pc < sw))[..., None], x, 0.0)
-            flip = jnp.roll(x[:, ::-1, :], -(x.shape[1] - sw), axis=1)
-            pair = jnp.stack([x, flip], axis=0)
+            pr = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 0)
+            pc = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 1)
+            x = jnp.where(((pr < sh) & (pc < sw))[None, ..., None], x, 0.0)
+            flip = jnp.roll(x[:, :, ::-1, :], -(pw - sw), axis=2)
+            stack = jnp.concatenate([x, flip], axis=0)  # [2k, ph, pw, 3]
             maps = model.apply(
-                variables, pair, extent=(sh, sw), method=model.cam
+                variables, stack, extent=(sh, sw), method=model.cam
             )
-            m = jnp.transpose(maps, (0, 3, 1, 2))  # [2, 20, ph16, pw16]
+            m = jnp.transpose(maps, (0, 3, 1, 2))  # [2k, 20, ph16, pw16]
             w16 = m.shape[-1]
-            flipped = jnp.roll(m[1][..., ::-1], -(w16 - vw), axis=-1)
-            fused = m[0] + flipped  # [20, ph16, pw16]; valid in [0,vh)x[0,vw)
+            flipped = jnp.roll(m[k:][..., ::-1], -(w16 - vw), axis=-1)
+            fused = m[:k] + flipped  # [k, 20, .]; valid in [0,vh)x[0,vw)
             s = resize_bilinear_dynamic(
                 fused, (vh, vw), (s4h, s4w), (s4_cap, s4_cap)
             )
@@ -216,6 +219,38 @@ def make_cam(cfg: Config) -> None:
 
         return run
 
+    return scale_pass
+
+
+def make_cam(cfg: Config) -> None:
+    """Multi-scale flipped CAM inference (step/make_cam.py).
+
+    Fully device-resident: flip fusion (dynamic roll), the resizes to the
+    stride-4 and strided-up grids (dynamic-extent bilinear), the cross-scale
+    sums, and per-class max-normalization all happen on device; only the K
+    present classes' final maps cross device->host.
+
+    MXU feeding: images are grouped by *exact original size* (VOC is
+    dominated by a handful of sizes) and up to ``cam_infer_batch`` of them
+    ride one ``[2K, ph, pw, 3]`` stack per scale — identical extents, so the
+    dynamic-shape machinery stays scalar and results match the per-image
+    path exactly. The reference instead loops one image per forward
+    (step/make_cam.py:26-56) and buys parallelism with one process per GPU."""
+    labels = _label_dict(cfg)
+    ds = voc12.ClassificationDataset(
+        cfg.infer_list, cfg.voc12_root, labels, img_normal=False
+    )
+    model = CAMNet(dtype=jnp.dtype(cfg.model_dtype))
+    variables = ckpt.load_checkpoint(cfg.cam_weights_name)
+    os.makedirs(cfg.cam_out_dir, exist_ok=True)
+
+    s4_cap = cfg.rw_grid_cap                      # stride-4 grid cap
+    su_cap = cfg.rw_grid_cap * 4                  # strided-up (<= orig) cap
+    n_cls = 20
+    batch_cap = max(1, cfg.cam_infer_batch)
+
+    scale_pass = build_cam_scale_pass(model, variables, s4_cap, su_cap)
+
     @jax.jit
     def finalize(s_acc, h_acc, vc):
         s = jnp.take(s_acc, vc, axis=0)
@@ -225,6 +260,8 @@ def make_cam(cfg: Config) -> None:
         return s, h
 
     from collections import deque
+
+    from PIL import Image
 
     spread = common.DeviceSpreader(cfg.infer_devices)
     n = len(ds)
@@ -242,49 +279,78 @@ def make_cam(cfg: Config) -> None:
         if i % max(n // 20, 1) == 0:
             print(f"make_cam {i}/{n}", flush=True)
 
+    # group pending work by exact image size (header-only PIL reads) so
+    # same-shape stacks share one compiled program per scale
+    groups: Dict[tuple, list] = {}
     for i in common.host_shard_range(n):
-        sample = ds[i]
-        name = sample["name"]
+        name = ds.img_name_list[i]
         out_path = os.path.join(cfg.cam_out_dir, name + ".npy")
         if not cfg.overwrite and os.path.exists(out_path):
             continue
-        img = sample["img"].astype(np.uint8)
-        size = img.shape[:2]
+        with Image.open(voc12.get_img_path(name, cfg.voc12_root)) as im:
+            w, h = im.size
+        groups.setdefault((h, w), []).append((i, out_path))
+
+    n_chunks = 0
+    for size, items in groups.items():
         s4h, s4w = T.get_strided_size(size, 4)
         suh, suw = T.get_strided_up_size(size, 16)
-        dev = spread(i)
-
-        s_acc = jax.device_put(
-            jnp.zeros((n_cls, s4_cap, s4_cap), jnp.float32), dev
-        )
-        h_acc = jax.device_put(
-            jnp.zeros((n_cls, su_cap, su_cap), jnp.float32), dev
-        )
-        for scale in cfg.cam_scales:
-            s_img = img if scale == 1 else T.pil_rescale(img, scale, 3)
-            sh, sw = s_img.shape[:2]
-            ph = common.round_up(sh, cfg.pad_multiple)
-            pw = common.round_up(sw, cfg.pad_multiple)
-            vh = -(-sh // 16)
-            vw = -(-sw // 16)
-            padded = np.pad(s_img, ((0, ph - sh), (0, pw - sw), (0, 0)))
-            s_acc, h_acc = scale_pass(ph, pw)(
-                jax.device_put(padded, dev),
-                jnp.int32(sh), jnp.int32(sw),
-                jnp.int32(vh), jnp.int32(vw),
-                jnp.int32(s4h), jnp.int32(s4w),
-                jnp.int32(suh), jnp.int32(suw),
-                jnp.int32(size[0]), jnp.int32(size[1]),
-                s_acc, h_acc,
+        if s4h > s4_cap or s4w > s4_cap:
+            raise ValueError(
+                f"{len(items)} image(s) of size {size} exceed the "
+                f"rw_grid_cap={cfg.rw_grid_cap} stride-4 grid "
+                f"({s4_cap * 4}px); raise --rw_grid_cap"
             )
+        pos = 0
+        for k in _chunk_sizes(len(items), batch_cap):
+            chunk = items[pos:pos + k]
+            pos += k
+            dev = spread(n_chunks)
+            n_chunks += 1
+            samples = [ds[i] for i, _ in chunk]
+            imgs = np.stack([s["img"] for s in samples]).astype(np.uint8)
 
-        valid_cat = np.nonzero(np.asarray(sample["label"]))[0]
-        s_sel, h_sel = finalize(s_acc, h_acc, jnp.asarray(valid_cat))
-        pending.append(
-            (i, out_path, size, (s4h, s4w), valid_cat, s_sel, h_sel)
-        )
-        while len(pending) > len(spread):
-            finish(pending.popleft())
+            s_acc = jax.device_put(
+                jnp.zeros((k, n_cls, s4_cap, s4_cap), jnp.float32), dev
+            )
+            h_acc = jax.device_put(
+                jnp.zeros((k, n_cls, su_cap, su_cap), jnp.float32), dev
+            )
+            for scale in cfg.cam_scales:
+                if scale == 1:
+                    s_imgs = imgs
+                else:
+                    s_imgs = np.stack(
+                        [T.pil_rescale(im, scale, 3) for im in imgs]
+                    )
+                sh, sw = s_imgs.shape[1:3]
+                ph = common.round_up(sh, cfg.pad_multiple)
+                pw = common.round_up(sw, cfg.pad_multiple)
+                vh = -(-sh // 16)
+                vw = -(-sw // 16)
+                padded = np.pad(
+                    s_imgs, ((0, 0), (0, ph - sh), (0, pw - sw), (0, 0))
+                )
+                s_acc, h_acc = scale_pass(ph, pw, k)(
+                    jax.device_put(padded, dev),
+                    jnp.int32(sh), jnp.int32(sw),
+                    jnp.int32(vh), jnp.int32(vw),
+                    jnp.int32(s4h), jnp.int32(s4w),
+                    jnp.int32(suh), jnp.int32(suw),
+                    jnp.int32(size[0]), jnp.int32(size[1]),
+                    s_acc, h_acc,
+                )
+
+            for j, ((i, out_path), sample) in enumerate(zip(chunk, samples)):
+                valid_cat = np.nonzero(np.asarray(sample["label"]))[0]
+                s_sel, h_sel = finalize(
+                    s_acc[j], h_acc[j], jnp.asarray(valid_cat)
+                )
+                pending.append(
+                    (i, out_path, size, (s4h, s4w), valid_cat, s_sel, h_sel)
+                )
+            while len(pending) > len(spread):
+                finish(pending.popleft())
     while pending:
         finish(pending.popleft())
 

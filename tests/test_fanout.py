@@ -130,6 +130,55 @@ def test_propagate_all_chunked_matches_fused(rng):
     )
 
 
+def test_make_cam_batched_matches_per_image(tmp_path, rng):
+    """cam_infer_batch > 1 stacks same-size images into one scale pass;
+    artifacts must match the per-image path (same math, bigger MXU feed)."""
+    from irn_tpu.models.cam import CAMNet
+    from irn_tpu.pipeline import stages_cam
+    from irn_tpu.pipeline.stages_cam import _chunk_sizes
+
+    assert _chunk_sizes(11, 4) == [4, 4, 2, 1]
+    assert _chunk_sizes(3, 8) == [2, 1]
+    assert _chunk_sizes(8, 8) == [8]
+
+    root = str(tmp_path / "voc")
+    # max_side_jitter=0: all images share one size -> one batched chunk
+    train, _ = synthetic.generate(
+        root, n_images=6, size=48, max_side_jitter=0, seed=3
+    )
+    model = CAMNet()
+    variables = jax.tree.map(
+        np.asarray,
+        model.init(jax.random.PRNGKey(1), np.zeros((1, 48, 48, 3), np.float32)),
+    )
+    weights = str(tmp_path / "cam.ckpt")
+    ckpt.save_checkpoint(weights, variables)
+
+    outs = {}
+    for tag, bs in {"one": 1, "four": 4}.items():
+        cfg = Config(
+            voc12_root=root, train_list=train, infer_list=train,
+            cls_labels_path=os.path.join(root, "cls_labels.npy"),
+            cam_weights_name=weights,
+            cam_out_dir=str(tmp_path / ("cam_" + tag)),
+            rw_grid_cap=16, pad_multiple=16, cam_infer_batch=bs,
+            cam_scales=(1.0, 0.5),
+        ).resolve()
+        os.makedirs(cfg.cam_out_dir, exist_ok=True)
+        stages_cam.make_cam(cfg)
+        outs[tag] = {
+            n: np.load(
+                os.path.join(cfg.cam_out_dir, n + ".npy"), allow_pickle=True
+            ).item()
+            for n in voc12.load_img_name_list(train)
+        }
+    for n, want in outs["one"].items():
+        got = outs["four"][n]
+        np.testing.assert_array_equal(got["keys"], want["keys"])
+        np.testing.assert_allclose(got["cam"], want["cam"], atol=1e-5)
+        np.testing.assert_allclose(got["high_res"], want["high_res"], atol=1e-5)
+
+
 def _stage_tree(tmp_path, rng):
     root = str(tmp_path / "voc")
     train, _ = synthetic.generate(
