@@ -24,8 +24,9 @@ TPU-first redesign (vs the reference's per-image rebuild):
   bilinear exactly for axis-aligned valid regions.
 
 The 8 squarings (~70 TFLOP at the full 16k grid) run through
-:func:`irn_tpu.ops.matpow.matrix_power_squarings`, which dispatches to a
-Pallas blocked kernel on TPU with an XLA fallback.
+:func:`irn_tpu.ops.matpow.matrix_power_squarings` — unrolled XLA dots by
+default; ``IRN_TPU_MATPOW=pallas|fused`` selects the blocked Pallas kernel
+(measured trade-offs in the matpow module docstring / BASELINE.md).
 """
 
 from __future__ import annotations
@@ -170,7 +171,20 @@ def transition_matrix(
     """A^beta, column-normalize, then ``exp_times`` squarings => T^(2^e).
 
     Column (not row) normalization matches the reference
-    (indexing.py:135)."""
+    (indexing.py:135). With ``IRN_TPU_MATPOW=fused`` (single-device TPU
+    only) the normalization and the first squaring run as one Pallas
+    kernel: A -> T^2 with T never materialized in HBM."""
+    from irn_tpu.ops import matpow
+
+    if (
+        sharding is None
+        and exp_times >= 1
+        and matpow.selected_path() == "fused"
+    ):
+        from irn_tpu.ops.matpow_pallas import square_fused_first
+
+        t = square_fused_first(affinity, beta=beta, matmul_dtype=matmul_dtype)
+        return matrix_power_squarings(t, exp_times - 1, matmul_dtype)
     scaled = affinity**beta
     t = scaled / jnp.sum(scaled, axis=0, keepdims=True)
     return matrix_power_squarings(

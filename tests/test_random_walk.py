@@ -138,3 +138,17 @@ def test_decode_matches_torch(rng):
     labels, _, _ = rw_mod.upsample_and_decode(rw_c, h4, w4, h0, w0, bg_thres)
     got = np.asarray(labels)[:h0, :w0]
     np.testing.assert_array_equal(got, want)
+
+
+def test_matpow_path_selection(monkeypatch):
+    """IRN_TPU_MATPOW selects the squaring path; Pallas kernels are
+    TPU-only so other backends fall back to XLA; bad values are loud."""
+    from irn_tpu.ops import matpow
+
+    monkeypatch.delenv("IRN_TPU_MATPOW", raising=False)
+    assert matpow.selected_path() == "xla"
+    monkeypatch.setenv("IRN_TPU_MATPOW", "fused")
+    assert matpow.selected_path() == "xla"  # CPU backend in tests
+    monkeypatch.setenv("IRN_TPU_MATPOW", "bogus")
+    with pytest.raises(ValueError):
+        matpow.selected_path()
