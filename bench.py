@@ -49,10 +49,15 @@ def main():
     mm_dtype = jnp.bfloat16 if on_tpu else None
     exp_times = 8 if on_tpu else 2  # CPU smoke mode
 
+    # production default: cost-model split between squarings and thin
+    # seed applications (rw_square_times=-1 in the pipeline config)
+    sq = rw_mod.pick_square_times(geom.n_pad, exp_times, matmul_dtype=mm_dtype)
+
     @jax.jit
     def run(cam, edge):
         rw = rw_mod.propagate(
-            geom, cam, edge, beta=10, exp_times=exp_times, matmul_dtype=mm_dtype
+            geom, cam, edge, beta=10, exp_times=exp_times,
+            matmul_dtype=mm_dtype, square_times=sq,
         )
         labels, _, _ = rw_mod.upsample_and_decode(
             rw, 94, 125, 375, 500, 0.25

@@ -231,8 +231,13 @@ def propagate_with_transition(
     edge_capped: jax.Array,
     t: jax.Array,
     matmul_dtype: Optional[jnp.dtype] = None,
+    n_apply: int = 1,
 ) -> jax.Array:
-    """Boundary-damp the seeds and propagate through a prebuilt T."""
+    """Boundary-damp the seeds and propagate through a prebuilt T.
+
+    ``n_apply`` right-multiplications: with T = T_base^(2^e), applying it
+    2^(E-e) times computes x @ T_base^(2^E) with far fewer FLOPs than
+    squaring all the way up — see :func:`pick_square_times`."""
     r = geom.radius
     ch, cw = geom.cap
     c = cam_capped.shape[0]
@@ -240,19 +245,46 @@ def propagate_with_transition(
     seeds = jnp.zeros((c, geom.padded[0], geom.padded[1]), jnp.float32)
     seeds = seeds.at[:, :ch, r : r + cw].set(damped)
     seeds_flat = seeds.reshape(c, geom.n_vertices)
-    seeds_flat = jnp.pad(seeds_flat, ((0, 0), (0, geom.n_pad - geom.n_vertices)))
+    rw = jnp.pad(seeds_flat, ((0, 0), (0, geom.n_pad - geom.n_vertices)))
 
     if matmul_dtype is not None:
-        rw = jnp.dot(
-            seeds_flat.astype(matmul_dtype),
-            t.astype(matmul_dtype),
-            preferred_element_type=jnp.float32,
-        )
+        tb = t.astype(matmul_dtype)  # cast once, reused every application
+        for _ in range(n_apply):
+            rw = jnp.dot(
+                rw.astype(matmul_dtype), tb,
+                preferred_element_type=jnp.float32,
+            )
     else:
         # right-multiplication x @ T (indexing.py:164)
-        rw = jnp.dot(seeds_flat, t, precision=jax.lax.Precision.HIGHEST)
+        for _ in range(n_apply):
+            rw = jnp.dot(rw, t, precision=jax.lax.Precision.HIGHEST)
     rw = rw[:, : geom.n_vertices].reshape(c, *geom.padded)
     return rw[:, :ch, r : r + cw]
+
+
+def pick_square_times(
+    n_pad: int,
+    exp_times: int,
+    n_chunks: int = 1,
+    matmul_dtype: Optional[jnp.dtype] = None,
+) -> int:
+    """Cost-model choice of how many squarings to run before switching to
+    thin seed applications.
+
+    x @ T^(2^E) = x applied 2^(E-e) times with T^(2^e): each squaring costs
+    2*n^3 MXU FLOPs while each application is HBM-bound (one streaming read
+    of T). Constants fitted on v5e-1 (tools/bench_matpow.py methodology:
+    34.5 ms/squaring, ~0.9 ms/application at n=14336 bf16); the optimum is
+    flat, so rough constants transfer. e=E reproduces pure squaring.
+    ``n_chunks``: seed-row chunks that will reuse the same T (instance
+    stage) — more reuse favors more squarings."""
+    bf16 = matmul_dtype is not None
+    sq = 2 * n_pad**3 / (1.5e14 if bf16 else 2.8e13)
+    ap = (2 if bf16 else 4) * n_pad**2 / 8.2e11 * 1.8
+    return min(
+        range(exp_times + 1),
+        key=lambda e: e * sq + n_chunks * (1 << (exp_times - e)) * ap,
+    )
 
 
 def propagate(
@@ -263,6 +295,7 @@ def propagate(
     exp_times: int = 8,
     matmul_dtype: Optional[jnp.dtype] = None,
     mesh=None,
+    square_times: Optional[int] = None,
 ) -> jax.Array:
     """Random-walk propagation of seed maps to boundaries.
 
@@ -273,14 +306,21 @@ def propagate(
         block-row sharded over it for every squaring and the final x @ T
         (the "long-context" scaling mode; each device's full-k contraction
         keeps results bit-identical to single-device execution).
+      square_times: squarings before switching to thin applications
+        (None = exp_times, the reference's pure-squaring evaluation;
+        :func:`pick_square_times` chooses the fast hybrid).
 
     Returns:
       [C, cap_h, cap_w] propagated scores (zero beyond extent).
     """
-    t = build_transition(geom, edge_capped, beta, exp_times, matmul_dtype,
-                         mesh)
-    return propagate_with_transition(geom, cam_capped, edge_capped, t,
-                                     matmul_dtype)
+    e = exp_times if square_times is None else square_times
+    if not 0 <= e <= exp_times:
+        raise ValueError(f"square_times={e} not in [0, {exp_times}]")
+    t = build_transition(geom, edge_capped, beta, e, matmul_dtype, mesh)
+    return propagate_with_transition(
+        geom, cam_capped, edge_capped, t, matmul_dtype,
+        n_apply=1 << (exp_times - e),
+    )
 
 
 def upsample_scores(

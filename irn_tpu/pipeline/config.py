@@ -83,6 +83,13 @@ class Config:
                                           # without pretrained weights
     model_dtype: str = "float32"          # backbone compute dtype
     rw_matmul_dtype: str = "float32"      # 'float32' | 'bfloat16'
+    rw_square_times: int = -1             # squarings before switching to
+                                          # thin seed applications:
+                                          # x@T^(2^E) via 2^(E-e) HBM-bound
+                                          # applications of T^(2^e). -1 =
+                                          # cost-model auto (2.2x on v5e);
+                                          # exp_times = pure squaring (the
+                                          # reference's evaluation order)
     rw_grid_cap: int = 128                # stride-4 cells (=512px images)
     ins_seed_cap: int = 128               # (instance x class) seed rows per
                                           # random-walk chunk — NOT a cap:

@@ -232,6 +232,7 @@ class RandomWalkRunner:
         self.exp_times = cfg.exp_times
         self.n_rows = n_seed_rows
         self.mm_dtype = cfg.rw_matmul_jnp_dtype()
+        self.square_times_cfg = cfg.rw_square_times
         # long-context mode: row-shard the transition matrix over a model
         # mesh, so one image's (HW)^2 matrix splits across the slice
         self.mesh = (
@@ -241,6 +242,19 @@ class RandomWalkRunner:
         self._programs = {}
         self._lock = threading.Lock()
 
+    def _square_times(self, geom) -> int:
+        """Resolved squarings-vs-applications split for this geometry.
+
+        Always evaluated for n_chunks=1 so the fused and chunked paths pick
+        the same exponent — with the same T^(2^e) and the same per-chunk
+        application count, chunked labels stay bit-equal to fused ones."""
+        if self.square_times_cfg >= 0:
+            return min(self.square_times_cfg, self.exp_times)
+        return rw_mod.pick_square_times(
+            geom.n_pad, self.exp_times, n_chunks=1,
+            matmul_dtype=self.mm_dtype,
+        )
+
     def _program(self, cap_h: int, cap_w: int):
         key = (cap_h, cap_w)
         with self._lock:
@@ -248,12 +262,13 @@ class RandomWalkRunner:
                 return self._programs[key]
             geom = rw_mod.build_geometry(cap_h, cap_w, radius=self.radius)
             mesh = self.mesh
+            sq = self._square_times(geom)
 
             @jax.jit
             def run(cam: jax.Array, edge: jax.Array, h4, w4, h0, w0, bg_thres):
                 rw = rw_mod.propagate(
                     geom, cam, edge, beta=self.beta, exp_times=self.exp_times,
-                    matmul_dtype=self.mm_dtype, mesh=mesh,
+                    matmul_dtype=self.mm_dtype, mesh=mesh, square_times=sq,
                 )
                 labels, rw_up, _ = rw_mod.upsample_and_decode(
                     rw, h4, w4, h0, w0, bg_thres
@@ -277,18 +292,21 @@ class RandomWalkRunner:
                 return self._programs[key]
             geom = rw_mod.build_geometry(cap_h, cap_w, radius=self.radius)
             mesh = self.mesh
+            sq = self._square_times(geom)
+            n_apply = 1 << (self.exp_times - sq)
 
             @jax.jit
             def build_t(edge: jax.Array):
                 return rw_mod.build_transition(
-                    geom, edge, beta=self.beta, exp_times=self.exp_times,
+                    geom, edge, beta=self.beta, exp_times=sq,
                     matmul_dtype=self.mm_dtype, mesh=mesh,
                 )
 
             @jax.jit
             def chunk(cam, edge, t, h4, w4, h0, w0, row0, best_val, best_row):
                 rw = rw_mod.propagate_with_transition(
-                    geom, cam, edge, t, matmul_dtype=self.mm_dtype
+                    geom, cam, edge, t, matmul_dtype=self.mm_dtype,
+                    n_apply=n_apply,
                 )
                 rw_up = rw_mod.upsample_scores(rw, h4, w4, h0, w0)
                 v = jnp.max(rw_up, axis=0)

@@ -152,3 +152,35 @@ def test_matpow_path_selection(monkeypatch):
     monkeypatch.setenv("IRN_TPU_MATPOW", "bogus")
     with pytest.raises(ValueError):
         matpow.selected_path()
+
+
+@pytest.mark.parametrize("square_times", [0, 1, 2])
+def test_hybrid_square_apply_matches_pure_squaring(rng, square_times):
+    """x @ T^(2^E) evaluated as 2^(E-e) applications of T^(2^e) equals the
+    pure-squaring evaluation (same operator, fewer FLOPs) to fp noise."""
+    geom = rw_mod.build_geometry(12, 12, radius=2)
+    h4 = w4 = 10
+    edge = np.ones((12, 12), np.float32)
+    edge[:h4, :w4] = rng.random((h4, w4)).astype(np.float32)
+    cam = np.zeros((3, 12, 12), np.float32)
+    cam[:, :h4, :w4] = rng.random((3, h4, w4))
+
+    pure = np.asarray(
+        rw_mod.propagate(geom, cam, edge, beta=10, exp_times=3)
+    )
+    hybrid = np.asarray(
+        rw_mod.propagate(
+            geom, cam, edge, beta=10, exp_times=3, square_times=square_times
+        )
+    )
+    np.testing.assert_allclose(hybrid, pure, atol=1e-6, rtol=1e-5)
+
+
+def test_pick_square_times_bounds():
+    for n in (512, 14336, 18432):
+        for chunks in (1, 4):
+            for md in (None, "bf16"):
+                e = rw_mod.pick_square_times(n, 8, chunks, md)
+                assert 0 <= e <= 8
+    # pure squaring recovered at e = exp_times when applications are free
+    assert rw_mod.pick_square_times(18432, 0) == 0
