@@ -67,3 +67,17 @@ def _declare(lib: ctypes.CDLL) -> None:
 
     lib.irn_rle_encode.argtypes = [u8p, ctypes.c_int, ctypes.c_int, u32p]
     lib.irn_rle_encode.restype = ctypes.c_int
+
+    lib.irn_set_num_threads.argtypes = [ctypes.c_int]
+    lib.irn_set_num_threads.restype = ctypes.c_int
+
+
+def set_num_threads(n: int) -> int:
+    """OpenMP threads for the native permutohedral filter (1 = serial, the
+    bit-exact single-thread path). Returns the effective count, or 1 when
+    the library is absent. Image-level fan-out (cam_to_ir_label's thread
+    pool) and filter-level threads multiply — divide the cores."""
+    lib = load()
+    if lib is None:
+        return 1
+    return int(lib.irn_set_num_threads(int(n)))

@@ -402,11 +402,17 @@ def cam_to_ir_label(cfg: Config) -> None:
     process per CPU worker, cam_to_ir_label.py:51-54)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from irn_tpu.ops import native as native_mod
+
     ds = voc12.ImageDataset(
         cfg.infer_list, cfg.voc12_root, img_normal=False
     )
     os.makedirs(cfg.ir_label_out_dir, exist_ok=True)
     n = len(ds)
+    # split cores between image-level fan-out and the native filter's
+    # OpenMP threads (they multiply)
+    n_pool = max(1, cfg.num_workers)
+    native_mod.set_num_threads(max(1, (os.cpu_count() or 1) // n_pool))
 
     def work(i: int):
         sample = ds[i]

@@ -12,6 +12,10 @@
 #include <cstdint>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 #include "permutohedral.h"
 
 namespace {
@@ -70,6 +74,20 @@ void softmax_rows(std::vector<float>& q, const std::vector<float>& logits,
 }  // namespace
 
 extern "C" {
+
+// OpenMP worker threads for the permutohedral filter (1 = serial; the
+// parallel splat reduction is deterministic for a fixed count). Returns
+// the effective count (always 1 in a non-OpenMP build). Callers fanning
+// out across images should divide cores between images and threads.
+int irn_set_num_threads(int n) {
+#ifdef _OPENMP
+  if (n > 0) omp_set_num_threads(n);
+  return omp_get_max_threads();
+#else
+  (void)n;
+  return 1;
+#endif
+}
 
 // Mean-field CRF over a label map (the reference's crf_inference_label).
 //

@@ -3,6 +3,10 @@
 #include <cmath>
 #include <cstring>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace irn {
 namespace {
 
@@ -174,23 +178,67 @@ void Permutohedral::Filter(const float* in, float* out, int vd) const {
   std::vector<float> a(n_lattice_ * vd, 0.f);
   std::vector<float> b(n_lattice_ * vd, 0.f);
 
-  // Splat.
-  for (int p = 0; p < n_; ++p) {
-    const float* v = in + static_cast<std::size_t>(p) * vd;
-    for (int r = 0; r <= d_; ++r) {
-      const std::size_t o =
-          static_cast<std::size_t>(offsets_[p * dp1 + r]) * vd;
-      const float w = weights_[p * dp1 + r];
-      for (int c = 0; c < vd; ++c) a[o + c] += w * v[c];
+#ifdef _OPENMP
+  const int nt = omp_get_max_threads();
+#else
+  const int nt = 1;
+#endif
+
+  // Splat. Pixels scatter-add into shared lattice rows, so the parallel
+  // path accumulates into per-thread buffers and reduces over lattice rows
+  // (deterministic for a fixed thread count: static partition + fixed
+  // reduction order).
+  if (nt > 1) {
+#ifdef _OPENMP
+    std::vector<std::vector<float>> partial(nt);
+#pragma omp parallel
+    {
+      const int t = omp_get_thread_num();
+      auto& acc = partial[t];
+      acc.assign(n_lattice_ * static_cast<std::size_t>(vd), 0.f);
+#pragma omp for schedule(static)
+      for (int p = 0; p < n_; ++p) {
+        const float* v = in + static_cast<std::size_t>(p) * vd;
+        for (int r = 0; r <= d_; ++r) {
+          const std::size_t o =
+              static_cast<std::size_t>(offsets_[p * dp1 + r]) * vd;
+          const float w = weights_[p * dp1 + r];
+          for (int c = 0; c < vd; ++c) acc[o + c] += w * v[c];
+        }
+      }
+#pragma omp barrier
+#pragma omp for schedule(static)
+      for (std::int64_t i = 0;
+           i < static_cast<std::int64_t>(n_lattice_) * vd; ++i) {
+        float s = 0.f;
+        for (int u = 0; u < nt; ++u) s += partial[u][i];
+        a[i] = s;
+      }
+    }
+#endif
+  } else {
+    for (int p = 0; p < n_; ++p) {
+      const float* v = in + static_cast<std::size_t>(p) * vd;
+      for (int r = 0; r <= d_; ++r) {
+        const std::size_t o =
+            static_cast<std::size_t>(offsets_[p * dp1 + r]) * vd;
+        const float w = weights_[p * dp1 + r];
+        for (int c = 0; c < vd; ++c) a[o + c] += w * v[c];
+      }
     }
   }
 
-  // Blur along each lattice axis with [1, 2, 1].
+  // Blur along each lattice axis with [1, 2, 1] — lattice rows read `cur`,
+  // write `nxt`: embarrassingly parallel.
   float* cur = a.data();
   float* nxt = b.data();
   for (int j = 0; j <= d_; ++j) {
     const auto& nb = blur_neighbors_[j];
-    for (std::size_t li = 0; li < n_lattice_; ++li) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (nt > 1)
+#endif
+    for (std::int64_t li = 0;
+         li < static_cast<std::int64_t>(n_lattice_); ++li) {
       const int32_t l1 = nb[li * 2];
       const int32_t l2 = nb[li * 2 + 1];
       const float* self = cur + li * vd;
@@ -207,7 +255,10 @@ void Permutohedral::Filter(const float* in, float* out, int vd) const {
     std::swap(cur, nxt);
   }
 
-  // Slice.
+  // Slice — per-pixel gather, embarrassingly parallel.
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (nt > 1)
+#endif
   for (int p = 0; p < n_; ++p) {
     float* o = out + static_cast<std::size_t>(p) * vd;
     for (int c = 0; c < vd; ++c) o[c] = 0.f;

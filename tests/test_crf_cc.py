@@ -72,6 +72,22 @@ def test_crf_native_vs_numpy_agree(rng):
     assert agree > 0.97, agree
 
 
+@pytest.mark.skipif(native.load() is None, reason="native lib not built")
+def test_crf_multithreaded_matches_serial(rng):
+    """OpenMP filter threads change only summation order in the splat
+    reduction; refined labels must match the serial path (forced back to 1
+    thread afterwards — this box has one core)."""
+    img, _, noisy = _synthetic_scene(rng, 32, 32)
+    want = crf.crf_inference_label(img, noisy, t=5, n_labels=2)
+    native.set_num_threads(4)
+    try:
+        got = crf.crf_inference_label(img, noisy, t=5, n_labels=2)
+    finally:
+        native.set_num_threads(1)
+    agree = (got == want).mean()
+    assert agree > 0.999, agree
+
+
 def test_label_components_matches_scipy(rng):
     from scipy import ndimage
 
