@@ -49,13 +49,16 @@ def main():
     mm_dtype = jnp.bfloat16 if on_tpu else None
     exp_times = 8 if on_tpu else 2  # CPU smoke mode
 
-    # production default: cost-model split between squarings and thin
-    # seed applications (rw_square_times=-1 in the pipeline config)
+    # production defaults: cost-model split between squarings and thin
+    # seed applications (rw_square_times=-1) + banded Pallas kernels on TPU
+    # (rw_banded=True) — both as RandomWalkRunner resolves them
     sq = rw_mod.pick_square_times(geom.n_pad, exp_times, matmul_dtype=mm_dtype)
+    banded = on_tpu and rw_mod.banded_fits(geom, exp_times, sq)
 
     @jax.jit
     def run(cam, edge):
-        rw = rw_mod.propagate(
+        prop = rw_mod.propagate_banded if banded else rw_mod.propagate
+        rw = prop(
             geom, cam, edge, beta=10, exp_times=exp_times,
             matmul_dtype=mm_dtype, square_times=sq,
         )

@@ -137,6 +137,298 @@ def square_pallas(
     )(operand, operand)
 
 
+def _banded_square_kernel(a_ref, b_ref, o_ref, acc_ref, *, kb, jb, nb):
+    i = pl.program_id(0)
+    jr = pl.program_id(1)
+    kr = pl.program_id(2)
+    j = i + jr - jb
+    lo = jnp.maximum(i, j) - kb
+    k = lo + kr
+
+    @pl.when(kr == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # k must lie in both operands' bands and the matrix: k >= max(i,j)-kb
+    # holds by construction.
+    valid = (
+        (j >= 0) & (j < nb) & (k >= 0) & (k < nb)
+        & (k <= jnp.minimum(i, j) + kb)
+    )
+
+    @pl.when(valid)
+    def _acc():
+        acc_ref[:] += _dot_block(a_ref[:], b_ref[:], None)
+
+    # Store only for in-range j. Edge grid points whose j clamps onto a
+    # neighbor's output block skip the store; the block's VMEM residency
+    # spans those consecutive visits, so the value the valid visit stored
+    # is what gets written back.
+    @pl.when((kr == pl.num_programs(2) - 1) & (j >= 0) & (j < nb))
+    def _flush():
+        o_ref[:] = acc_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "matmul_dtype", "bs", "interpret")
+)
+def square_banded(
+    t: jax.Array,
+    h: int,
+    matmul_dtype: Optional[jnp.dtype] = None,
+    bs: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """T @ T for a *banded* T: T[r, q] == 0 whenever |q - r| > h.
+
+    The random-walk transition matrix starts banded (affinity pairs reach
+    at most max_doff = dy*W + dx elements off-diagonal) and each squaring
+    doubles the band — XLA's dense dot cannot exploit this, a blocked
+    kernel trivially does: the grid walks only output blocks within the
+    2h band, and contraction blocks k outside [max(i,j)-Kb, min(i,j)+Kb]
+    are skipped (their product is exactly zero, so in-band results match a
+    dense squaring up to block summation order).
+
+    CONTRACT: only blocks intersecting the 2h output band are written —
+    out-of-band content is UNSPECIFIED (the banded consumers
+    square_banded/apply_banded* never read it). Falls back to the dense
+    kernel when the band covers the matrix."""
+    n = t.shape[0]
+    assert t.shape == (n, n), t.shape
+    if n % bs:
+        raise ValueError(f"{n} not divisible by block {bs}")
+    nb = n // bs
+    kb = -(-h // bs)       # input band, block-level halfwidth
+    jb = -(-2 * h // bs)   # output band, block-level halfwidth
+    operand = t.astype(matmul_dtype) if matmul_dtype is not None else t
+    if 2 * kb + 1 >= nb or 2 * jb + 1 >= nb:
+        # band covers the matrix: XLA's dense dot is the best path (and
+        # works on every backend)
+        return _dot_block(operand, operand, None)
+
+    def jmap(i, jr):
+        return jnp.clip(i + jr - jb, 0, nb - 1)
+
+    def kmap(i, jr, kr):
+        return jnp.clip(
+            jnp.maximum(i, i + jr - jb) - kb + kr, 0, nb - 1
+        )
+
+    return pl.pallas_call(
+        functools.partial(_banded_square_kernel, kb=kb, jb=jb, nb=nb),
+        grid=(nb, 2 * jb + 1, 2 * kb + 1),
+        in_specs=[
+            pl.BlockSpec((bs, bs), lambda i, jr, kr: (i, kmap(i, jr, kr))),
+            pl.BlockSpec(
+                (bs, bs), lambda i, jr, kr: (kmap(i, jr, kr), jmap(i, jr))
+            ),
+        ],
+        out_specs=pl.BlockSpec((bs, bs), lambda i, jr, kr: (i, jmap(i, jr))),
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bs, bs), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * bs * bs * (2 * jb + 1) * (2 * kb + 1) // 2,
+            bytes_accessed=2 * nb * (2 * jb + 1) * (2 * kb + 1) * bs * bs
+            * operand.dtype.itemsize // (2 * jb + 1)
+            + nb * (2 * jb + 1) * bs * bs * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(operand, operand)
+
+
+def _banded_apply_kernel(x_ref, t_ref, o_ref, acc_ref, *, kb, nb):
+    j = pl.program_id(0)
+    kr = pl.program_id(1)
+    k = j - kb + kr
+
+    @pl.when(kr == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    valid = (k >= 0) & (k < nb)
+
+    @pl.when(valid)
+    def _acc():
+        acc_ref[:] += _dot_block(x_ref[:], t_ref[:], None)
+
+    @pl.when(kr == pl.num_programs(1) - 1)
+    def _flush():
+        o_ref[:] = acc_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "matmul_dtype", "bs", "interpret")
+)
+def apply_banded(
+    x: jax.Array,
+    t: jax.Array,
+    h: int,
+    matmul_dtype: Optional[jnp.dtype] = None,
+    bs: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """x @ T for a banded T (band halfwidth ``h`` elements): the thin seed
+    application only streams the ~(2h/n) in-band fraction of T from HBM.
+    ``x``: [C, n] with C a multiple of 8 (pad rows with zeros)."""
+    c, n = x.shape
+    assert t.shape == (n, n), (x.shape, t.shape)
+    if n % bs or c % 8:
+        raise ValueError(f"bad shapes x={x.shape} bs={bs}")
+    nb = n // bs
+    kb = -(-h // bs)
+    xo = x.astype(matmul_dtype) if matmul_dtype is not None else x
+    to = t.astype(matmul_dtype) if matmul_dtype is not None else t
+    if 2 * kb + 1 >= nb:
+        # NOTE: only valid when t's out-of-band blocks are true zeros (not
+        # square_banded's unspecified fill) — callers fall back to dense
+        # matrices entirely in that regime
+        return _dot_block(xo, to, None)
+
+    def kmap(j, kr):
+        return jnp.clip(j - kb + kr, 0, nb - 1)
+
+    return pl.pallas_call(
+        functools.partial(_banded_apply_kernel, kb=kb, nb=nb),
+        grid=(nb, 2 * kb + 1),
+        in_specs=[
+            pl.BlockSpec((c, bs), lambda j, kr: (0, kmap(j, kr))),
+            pl.BlockSpec((bs, bs), lambda j, kr: (kmap(j, kr), j)),
+        ],
+        out_specs=pl.BlockSpec((c, bs), lambda j, kr: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((c, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c, bs), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * c * bs * nb * (2 * kb + 1),
+            bytes_accessed=nb * (2 * kb + 1) * bs * (bs + c)
+            * to.dtype.itemsize + c * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xo, to)
+
+
+def _banded_apply_chain_kernel(x_ref, t_ref, o_ref, xa, xb, acc, *,
+                               kb, nb, bs, n_apply):
+    app = pl.program_id(0)
+    j = pl.program_id(1)
+    kr = pl.program_id(2)
+    k = j - kb + kr
+
+    @pl.when(kr == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    valid = (k >= 0) & (k < nb)
+
+    @pl.when(valid)
+    def _acc():
+        sl = pl.ds(jnp.clip(k, 0, nb - 1) * bs, bs)
+        # application a reads the buffer application a-1 wrote (xa for even
+        # writers, xb for odd); application 0 reads the input
+        cur = jnp.where(
+            app == 0,
+            x_ref[:, sl],
+            jnp.where(app % 2 == 1, xa[:, sl], xb[:, sl]),
+        )
+        acc[:] += _dot_block(cur.astype(t_ref.dtype), t_ref[:], None)
+
+    @pl.when(kr == pl.num_programs(2) - 1)
+    def _flush():
+        sj = pl.ds(j * bs, bs)
+        res = acc[:]
+
+        @pl.when(app % 2 == 0)
+        def _wa():
+            xa[:, sj] = res.astype(xa.dtype)
+
+        @pl.when(app % 2 == 1)
+        def _wb():
+            xb[:, sj] = res.astype(xb.dtype)
+
+        @pl.when(app == n_apply - 1)
+        def _out():
+            o_ref[:, sj] = res
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "n_apply", "matmul_dtype", "bs", "interpret"),
+)
+def apply_banded_chain(
+    x: jax.Array,
+    t: jax.Array,
+    h: int,
+    n_apply: int,
+    matmul_dtype: Optional[jnp.dtype] = None,
+    bs: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """x @ T^n_apply for a banded T (halfwidth ``h``), one kernel launch.
+
+    The seed matrix lives in VMEM for the whole chain (ping-pong scratch
+    between applications); only the in-band T blocks stream from HBM —
+    2^(E-e) launches and 2^(E-e) x round-trips collapse into one grid.
+    ``x``: [C, n], C a multiple of 8."""
+    c, n = x.shape
+    assert t.shape == (n, n), (x.shape, t.shape)
+    if n % bs or c % 8:
+        raise ValueError(f"bad shapes x={x.shape} bs={bs}")
+    if n_apply == 1:
+        return apply_banded(x, t, h, matmul_dtype, bs, interpret)
+    nb = n // bs
+    kb = -(-h // bs)
+    if 2 * kb + 1 >= nb:
+        out = x
+        to = t.astype(matmul_dtype) if matmul_dtype is not None else t
+        for _ in range(n_apply):
+            if matmul_dtype is not None:
+                out = out.astype(matmul_dtype)
+            out = _dot_block(out, to, None)
+        return out
+    sdtype = matmul_dtype if matmul_dtype is not None else jnp.float32
+    xo = x.astype(sdtype)
+    to = t.astype(sdtype)
+
+    def kmap(app, j, kr):
+        return jnp.clip(j - kb + kr, 0, nb - 1)
+
+    return pl.pallas_call(
+        functools.partial(
+            _banded_apply_chain_kernel, kb=kb, nb=nb, bs=bs, n_apply=n_apply
+        ),
+        grid=(n_apply, nb, 2 * kb + 1),
+        in_specs=[
+            pl.BlockSpec((c, n), lambda app, j, kr: (0, 0)),  # VMEM-resident
+            pl.BlockSpec((bs, bs), lambda app, j, kr: (kmap(app, j, kr), j)),
+        ],
+        out_specs=pl.BlockSpec((c, n), lambda app, j, kr: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((c, n), sdtype),
+            pltpu.VMEM((c, n), sdtype),
+            pltpu.VMEM((c, bs), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * c * bs * nb * (2 * kb + 1) * n_apply,
+            bytes_accessed=n_apply * nb * (2 * kb + 1) * bs * bs
+            * to.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xo, to)
+
+
 def _fused_kernel(a_ref, b_ref, invk_ref, invj_ref, o_ref, acc_ref, *,
                   beta, matmul_dtype):
     @pl.when(pl.program_id(2) == 0)

@@ -225,6 +225,57 @@ def build_transition(
     return t
 
 
+def _flat_seeds(
+    geom: RandomWalkGeometry,
+    cam_capped: jax.Array,
+    edge_capped: jax.Array,
+) -> jax.Array:
+    """Boundary-damped seeds embedded in the padded flat grid [C, n_pad]."""
+    r = geom.radius
+    ch, cw = geom.cap
+    c = cam_capped.shape[0]
+    damped = cam_capped * (1.0 - edge_capped)[None]
+    seeds = jnp.zeros((c, geom.padded[0], geom.padded[1]), jnp.float32)
+    seeds = seeds.at[:, :ch, r : r + cw].set(damped)
+    seeds_flat = seeds.reshape(c, geom.n_vertices)
+    return jnp.pad(seeds_flat, ((0, 0), (0, geom.n_pad - geom.n_vertices)))
+
+
+def _unflatten_rw(geom: RandomWalkGeometry, rw: jax.Array) -> jax.Array:
+    r = geom.radius
+    ch, cw = geom.cap
+    c = rw.shape[0]
+    rw = rw[:, : geom.n_vertices].reshape(c, *geom.padded)
+    return rw[:, :ch, r : r + cw]
+
+
+def band_halfwidth(geom: RandomWalkGeometry) -> int:
+    """Affinity band halfwidth in flat-grid elements: the farthest pair
+    destination is max(dy)*W_padded + max(dx) off the diagonal (all other
+    nonzeros — the mirrored band and the identity diagonal — are closer)."""
+    ps = geom.grid_index.path_set
+    return int(ps.dst_offsets[:, 0].max()) * geom.padded[1] + int(
+        ps.dst_offsets[:, 1].max()
+    )
+
+
+def banded_fits(
+    geom: RandomWalkGeometry,
+    exp_times: int,
+    square_times: int,
+    bs: int = 512,
+) -> bool:
+    """True when the banded kernels stay banded through the whole chain:
+    the final band (after ``square_times`` doublings) must not cover the
+    matrix — once any step would fall back to dense, the unspecified
+    out-of-band blocks of earlier banded squarings would leak."""
+    n = geom.n_pad
+    if n % bs:
+        return False
+    h_final = band_halfwidth(geom) << square_times
+    return 2 * (-(-h_final // bs)) + 1 < n // bs
+
+
 def propagate_with_transition(
     geom: RandomWalkGeometry,
     cam_capped: jax.Array,
@@ -238,14 +289,7 @@ def propagate_with_transition(
     ``n_apply`` right-multiplications: with T = T_base^(2^e), applying it
     2^(E-e) times computes x @ T_base^(2^E) with far fewer FLOPs than
     squaring all the way up — see :func:`pick_square_times`."""
-    r = geom.radius
-    ch, cw = geom.cap
-    c = cam_capped.shape[0]
-    damped = cam_capped * (1.0 - edge_capped)[None]
-    seeds = jnp.zeros((c, geom.padded[0], geom.padded[1]), jnp.float32)
-    seeds = seeds.at[:, :ch, r : r + cw].set(damped)
-    seeds_flat = seeds.reshape(c, geom.n_vertices)
-    rw = jnp.pad(seeds_flat, ((0, 0), (0, geom.n_pad - geom.n_vertices)))
+    rw = _flat_seeds(geom, cam_capped, edge_capped)
 
     if matmul_dtype is not None:
         tb = t.astype(matmul_dtype)  # cast once, reused every application
@@ -258,8 +302,90 @@ def propagate_with_transition(
         # right-multiplication x @ T (indexing.py:164)
         for _ in range(n_apply):
             rw = jnp.dot(rw, t, precision=jax.lax.Precision.HIGHEST)
-    rw = rw[:, : geom.n_vertices].reshape(c, *geom.padded)
-    return rw[:, :ch, r : r + cw]
+    return _unflatten_rw(geom, rw)
+
+
+def build_transition_banded(
+    geom: RandomWalkGeometry,
+    edge_capped: jax.Array,
+    beta: int = 10,
+    square_times: int = 2,
+    matmul_dtype: Optional[jnp.dtype] = None,
+    bs: int = 512,
+    interpret: bool = False,
+) -> Tuple[jax.Array, int]:
+    """T^(2^square_times) via banded Pallas squarings.
+
+    The affinity matrix is banded (halfwidth :func:`band_halfwidth`) and
+    squaring doubles the band; the banded kernels skip everything outside
+    it — 2.4x over the dense hybrid at the VOC-typical bucket (BASELINE.md
+    round-2). Returns (t, band): out-of-band blocks of ``t`` are
+    UNSPECIFIED — propagate through :func:`apply_transition_banded` only.
+    Callers must check :func:`banded_fits` first."""
+    from irn_tpu.ops.matpow_pallas import square_banded
+
+    h = band_halfwidth(geom)
+    scaled = dense_affinity(geom, edge_capped) ** beta
+    t = scaled / jnp.sum(scaled, axis=0, keepdims=True)
+    for _ in range(square_times):
+        t = square_banded(t, h, matmul_dtype=matmul_dtype, bs=bs,
+                          interpret=interpret)
+        h *= 2
+    return t, h
+
+
+def apply_transition_banded(
+    geom: RandomWalkGeometry,
+    cam_capped: jax.Array,
+    edge_capped: jax.Array,
+    t: jax.Array,
+    band: int,
+    n_apply: int,
+    matmul_dtype: Optional[jnp.dtype] = None,
+    bs: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Seed propagation through a banded T (one fused application chain)."""
+    from irn_tpu.ops.matpow_pallas import apply_banded_chain
+
+    seeds = _flat_seeds(geom, cam_capped, edge_capped)
+    c = seeds.shape[0]
+    c_pad = _round_up(c, 8)
+    seeds = jnp.pad(seeds, ((0, c_pad - c), (0, 0)))
+    rw = apply_banded_chain(
+        seeds, t, band, n_apply, matmul_dtype=matmul_dtype, bs=bs,
+        interpret=interpret,
+    )
+    return _unflatten_rw(geom, rw[:c])
+
+
+def propagate_banded(
+    geom: RandomWalkGeometry,
+    cam_capped: jax.Array,
+    edge_capped: jax.Array,
+    beta: int = 10,
+    exp_times: int = 8,
+    matmul_dtype: Optional[jnp.dtype] = None,
+    square_times: Optional[int] = None,
+    bs: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`propagate` evaluated with the banded kernels (single-device
+    TPU path; ``interpret=True`` runs them on CPU for tests). Falls back to
+    the dense path when the band would outgrow the matrix."""
+    e = exp_times if square_times is None else square_times
+    if not 0 <= e <= exp_times:
+        raise ValueError(f"square_times={e} not in [0, {exp_times}]")
+    if not banded_fits(geom, exp_times, e, bs):
+        return propagate(geom, cam_capped, edge_capped, beta, exp_times,
+                         matmul_dtype, square_times=square_times)
+    t, band = build_transition_banded(
+        geom, edge_capped, beta, e, matmul_dtype, bs, interpret
+    )
+    return apply_transition_banded(
+        geom, cam_capped, edge_capped, t, band, 1 << (exp_times - e),
+        matmul_dtype, bs, interpret,
+    )
 
 
 def pick_square_times(

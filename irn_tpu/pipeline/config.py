@@ -83,6 +83,10 @@ class Config:
                                           # without pretrained weights
     model_dtype: str = "float32"          # backbone compute dtype
     rw_matmul_dtype: str = "float32"      # 'float32' | 'bfloat16'
+    rw_banded: bool = True                # exploit the transition matrix's
+                                          # band structure with Pallas
+                                          # kernels (TPU, single-device;
+                                          # 2.4x over dense at VOC sizes)
     rw_square_times: int = -1             # squarings before switching to
                                           # thin seed applications:
                                           # x@T^(2^E) via 2^(E-e) HBM-bound

@@ -233,6 +233,7 @@ class RandomWalkRunner:
         self.n_rows = n_seed_rows
         self.mm_dtype = cfg.rw_matmul_jnp_dtype()
         self.square_times_cfg = cfg.rw_square_times
+        self.banded_cfg = cfg.rw_banded
         # long-context mode: row-shard the transition matrix over a model
         # mesh, so one image's (HW)^2 matrix splits across the slice
         self.mesh = (
@@ -255,6 +256,16 @@ class RandomWalkRunner:
             matmul_dtype=self.mm_dtype,
         )
 
+    def _use_banded(self, geom, sq: int) -> bool:
+        """Banded Pallas kernels: single-device TPU only (the mesh path
+        shards dense matrices; other backends lack the kernels)."""
+        return (
+            self.banded_cfg
+            and self.mesh is None
+            and jax.default_backend() == "tpu"
+            and rw_mod.banded_fits(geom, self.exp_times, sq)
+        )
+
     def _program(self, cap_h: int, cap_w: int):
         key = (cap_h, cap_w)
         with self._lock:
@@ -263,13 +274,23 @@ class RandomWalkRunner:
             geom = rw_mod.build_geometry(cap_h, cap_w, radius=self.radius)
             mesh = self.mesh
             sq = self._square_times(geom)
+            banded = self._use_banded(geom, sq)
 
             @jax.jit
             def run(cam: jax.Array, edge: jax.Array, h4, w4, h0, w0, bg_thres):
-                rw = rw_mod.propagate(
-                    geom, cam, edge, beta=self.beta, exp_times=self.exp_times,
-                    matmul_dtype=self.mm_dtype, mesh=mesh, square_times=sq,
-                )
+                if banded:
+                    rw = rw_mod.propagate_banded(
+                        geom, cam, edge, beta=self.beta,
+                        exp_times=self.exp_times,
+                        matmul_dtype=self.mm_dtype, square_times=sq,
+                    )
+                else:
+                    rw = rw_mod.propagate(
+                        geom, cam, edge, beta=self.beta,
+                        exp_times=self.exp_times,
+                        matmul_dtype=self.mm_dtype, mesh=mesh,
+                        square_times=sq,
+                    )
                 labels, rw_up, _ = rw_mod.upsample_and_decode(
                     rw, h4, w4, h0, w0, bg_thres
                 )
@@ -294,9 +315,17 @@ class RandomWalkRunner:
             mesh = self.mesh
             sq = self._square_times(geom)
             n_apply = 1 << (self.exp_times - sq)
+            banded = self._use_banded(geom, sq)
+            band = rw_mod.band_halfwidth(geom) << sq
 
             @jax.jit
             def build_t(edge: jax.Array):
+                if banded:
+                    t, _ = rw_mod.build_transition_banded(
+                        geom, edge, beta=self.beta, square_times=sq,
+                        matmul_dtype=self.mm_dtype,
+                    )
+                    return t
                 return rw_mod.build_transition(
                     geom, edge, beta=self.beta, exp_times=sq,
                     matmul_dtype=self.mm_dtype, mesh=mesh,
@@ -304,10 +333,16 @@ class RandomWalkRunner:
 
             @jax.jit
             def chunk(cam, edge, t, h4, w4, h0, w0, row0, best_val, best_row):
-                rw = rw_mod.propagate_with_transition(
-                    geom, cam, edge, t, matmul_dtype=self.mm_dtype,
-                    n_apply=n_apply,
-                )
+                if banded:
+                    rw = rw_mod.apply_transition_banded(
+                        geom, cam, edge, t, band, n_apply,
+                        matmul_dtype=self.mm_dtype,
+                    )
+                else:
+                    rw = rw_mod.propagate_with_transition(
+                        geom, cam, edge, t, matmul_dtype=self.mm_dtype,
+                        n_apply=n_apply,
+                    )
                 rw_up = rw_mod.upsample_scores(rw, h4, w4, h0, w0)
                 v = jnp.max(rw_up, axis=0)
                 r = jnp.argmax(rw_up, axis=0).astype(jnp.int32) + row0

@@ -4,6 +4,7 @@ follows the reference algorithm literally (pad -> affinity -> dense scatter
 misc/indexing.py:141-166), including the crop-before-normalize step our
 capped implementation proves unnecessary."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -184,3 +185,44 @@ def test_pick_square_times_bounds():
                 assert 0 <= e <= 8
     # pure squaring recovered at e = exp_times when applications are free
     assert rw_mod.pick_square_times(18432, 0) == 0
+
+
+def test_banded_kernels_match_dense(rng):
+    """Interpret-mode banded Pallas kernels vs dense references: in-band
+    squaring agreement and full propagate parity (out-of-band unspecified
+    blocks never leak into the propagated scores)."""
+    from irn_tpu.ops.matpow_pallas import square_banded
+
+    n, bs, h = 768, 128, 130
+    r = np.arange(n)
+    band = np.abs(r[:, None] - r[None, :]) <= h
+    a = np.zeros((n, n), np.float32)
+    a[band] = rng.random(band.sum(), dtype=np.float32)
+    want = a @ a
+    got = np.asarray(square_banded(jnp.asarray(a), h, bs=bs, interpret=True))
+    inband = np.abs(r[:, None] - r[None, :]) <= 2 * h
+    np.testing.assert_allclose(got[inband], want[inband], atol=1e-4)
+
+    geom = rw_mod.build_geometry(24, 24, radius=2)
+    assert geom.n_pad % 128 == 0
+    h4 = w4 = 20
+    edge = np.ones((24, 24), np.float32)
+    edge[:h4, :w4] = rng.random((h4, w4)).astype(np.float32)
+    cam = np.zeros((3, 24, 24), np.float32)
+    cam[:, :h4, :w4] = rng.random((3, h4, w4))
+    assert rw_mod.banded_fits(geom, 3, 2, bs=128)
+    dense = np.asarray(
+        rw_mod.propagate(geom, cam, edge, beta=10, exp_times=3,
+                         square_times=2)
+    )
+    banded = np.asarray(
+        rw_mod.propagate_banded(geom, cam, edge, beta=10, exp_times=3,
+                                square_times=2, bs=128, interpret=True)
+    )
+    np.testing.assert_allclose(banded, dense, atol=1e-5, rtol=1e-4)
+
+
+def test_banded_fits_gates():
+    geom = rw_mod.build_geometry(16, 16, radius=2)
+    # tiny grid: band covers the matrix -> dense fallback required
+    assert not rw_mod.banded_fits(geom, 3, 2, bs=512)
