@@ -315,21 +315,21 @@ def apply_banded(
 
 
 def _banded_apply_chain_kernel(x_ref, t_ref, o_ref, xa, xb, acc, *,
-                               kb, nb, bs, n_apply):
+                               kh, nkb, bk, bj, n_apply):
     app = pl.program_id(0)
     j = pl.program_id(1)
     kr = pl.program_id(2)
-    k = j - kb + kr
+    k = j * (bj // bk) - kh + kr
 
     @pl.when(kr == 0)
     def _init():
         acc[:] = jnp.zeros_like(acc)
 
-    valid = (k >= 0) & (k < nb)
+    valid = (k >= 0) & (k < nkb)
 
     @pl.when(valid)
     def _acc():
-        sl = pl.ds(jnp.clip(k, 0, nb - 1) * bs, bs)
+        sl = pl.ds(jnp.clip(k, 0, nkb - 1) * bk, bk)
         # application a reads the buffer application a-1 wrote (xa for even
         # writers, xb for odd); application 0 reads the input
         cur = jnp.where(
@@ -341,7 +341,7 @@ def _banded_apply_chain_kernel(x_ref, t_ref, o_ref, xa, xb, acc, *,
 
     @pl.when(kr == pl.num_programs(2) - 1)
     def _flush():
-        sj = pl.ds(j * bs, bs)
+        sj = pl.ds(j * bj, bj)
         res = acc[:]
 
         @pl.when(app % 2 == 0)
@@ -357,9 +357,18 @@ def _banded_apply_chain_kernel(x_ref, t_ref, o_ref, xa, xb, acc, *,
             o_ref[:, sj] = res
 
 
+def default_apply_bj(n: int, bs: int) -> int:
+    """Default output-column block for :func:`apply_banded_chain`: square
+    ``bs``. Wider j-tiles were measured and LOSE on v5e-1 (bj=2048: +4 ms
+    on a 43 ms chain at n=14336 — the extra band over-read costs more than
+    the 3x grid-step reduction saves; tools/bench_banded.py sweep in
+    BASELINE.md). The knob stays for retuning on other hardware."""
+    return bs
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "n_apply", "matmul_dtype", "bs", "interpret"),
+    static_argnames=("h", "n_apply", "matmul_dtype", "bs", "bj", "interpret"),
 )
 def apply_banded_chain(
     x: jax.Array,
@@ -368,61 +377,81 @@ def apply_banded_chain(
     n_apply: int,
     matmul_dtype: Optional[jnp.dtype] = None,
     bs: int = 512,
+    bj: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """x @ T^n_apply for a banded T (halfwidth ``h``), one kernel launch.
 
     The seed matrix lives in VMEM for the whole chain (ping-pong scratch
-    between applications); only the in-band T blocks stream from HBM —
+    between applications); only the in-band T tiles stream from HBM —
     2^(E-e) launches and 2^(E-e) x round-trips collapse into one grid.
-    ``x``: [C, n], C a multiple of 8."""
+    ``x``: [C, n], C a multiple of 8.
+
+    Tiles are (bs x bj) — contraction-narrow, output-wide: bj rules the
+    HBM read contiguity and the grid-step count while the in-band k range
+    is quantized at the finer bs. Out-of-band elements of ``t`` (which
+    :func:`square_banded` leaves unspecified) are zeroed during the operand
+    downcast, so tiles may straddle the band/garbage boundary freely."""
     c, n = x.shape
     assert t.shape == (n, n), (x.shape, t.shape)
-    if n % bs or c % 8:
-        raise ValueError(f"bad shapes x={x.shape} bs={bs}")
+    if bj is None:
+        bj = default_apply_bj(n, bs)
+    if n % bs or c % 8 or bj % bs or n % bj:
+        raise ValueError(f"bad shapes x={x.shape} bs={bs} bj={bj}")
     if n_apply == 1:
         return apply_banded(x, t, h, matmul_dtype, bs, interpret)
-    nb = n // bs
-    kb = -(-h // bs)
-    if 2 * kb + 1 >= nb:
-        out = x
-        to = t.astype(matmul_dtype) if matmul_dtype is not None else t
-        for _ in range(n_apply):
-            if matmul_dtype is not None:
-                out = out.astype(matmul_dtype)
-            out = _dot_block(out, to, None)
-        return out
+    nkb = n // bs
+    kh = -(-h // bs)
+    bjk = bj // bs
     sdtype = matmul_dtype if matmul_dtype is not None else jnp.float32
+    if bjk > 1 or bjk + 2 * kh >= nkb:
+        # T^(2^e)'s true band halfwidth is exactly h (banded-matrix
+        # products add halfwidths); everything beyond is square_banded's
+        # unspecified fill. Square bs-tiles provably never read it (the
+        # in-band k range [j-kh, j+kh] sits inside the final squaring's
+        # written j-band, jb = ceil(2*h_prev/bs) = kh), but wider j-tiles
+        # and the dense fallback can straddle the boundary — zero it,
+        # fused into the downcast pass (~1.5 ms at n=14336).
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        to = jnp.where(jnp.abs(rows - cols) <= h, t, 0.0).astype(sdtype)
+    else:
+        to = t.astype(sdtype)
+    if bjk + 2 * kh >= nkb:
+        out = x
+        for _ in range(n_apply):
+            out = _dot_block(out.astype(sdtype), to, None)
+        return out
     xo = x.astype(sdtype)
-    to = t.astype(sdtype)
 
     def kmap(app, j, kr):
-        return jnp.clip(j - kb + kr, 0, nb - 1)
+        return jnp.clip(j * bjk - kh + kr, 0, nkb - 1)
 
     return pl.pallas_call(
         functools.partial(
-            _banded_apply_chain_kernel, kb=kb, nb=nb, bs=bs, n_apply=n_apply
+            _banded_apply_chain_kernel, kh=kh, nkb=nkb, bk=bs, bj=bj,
+            n_apply=n_apply,
         ),
-        grid=(n_apply, nb, 2 * kb + 1),
+        grid=(n_apply, n // bj, bjk + 2 * kh),
         in_specs=[
             pl.BlockSpec((c, n), lambda app, j, kr: (0, 0)),  # VMEM-resident
-            pl.BlockSpec((bs, bs), lambda app, j, kr: (kmap(app, j, kr), j)),
+            pl.BlockSpec((bs, bj), lambda app, j, kr: (kmap(app, j, kr), j)),
         ],
         out_specs=pl.BlockSpec((c, n), lambda app, j, kr: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((c, n), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((c, n), sdtype),
             pltpu.VMEM((c, n), sdtype),
-            pltpu.VMEM((c, bs), jnp.float32),
+            pltpu.VMEM((c, bj), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * c * bs * nb * (2 * kb + 1) * n_apply,
-            bytes_accessed=n_apply * nb * (2 * kb + 1) * bs * bs
-            * to.dtype.itemsize,
+            flops=2 * c * bs * bj * (n // bj) * (bjk + 2 * kh) * n_apply,
+            bytes_accessed=n_apply * (n // bj) * (bjk + 2 * kh) * bs * bj
+            * jnp.dtype(sdtype).itemsize,
             transcendentals=0,
         ),
         interpret=interpret,

@@ -343,6 +343,7 @@ def apply_transition_banded(
     n_apply: int,
     matmul_dtype: Optional[jnp.dtype] = None,
     bs: int = 512,
+    bj: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Seed propagation through a banded T (one fused application chain)."""
@@ -353,7 +354,7 @@ def apply_transition_banded(
     c_pad = _round_up(c, 8)
     seeds = jnp.pad(seeds, ((0, c_pad - c), (0, 0)))
     rw = apply_banded_chain(
-        seeds, t, band, n_apply, matmul_dtype=matmul_dtype, bs=bs,
+        seeds, t, band, n_apply, matmul_dtype=matmul_dtype, bs=bs, bj=bj,
         interpret=interpret,
     )
     return _unflatten_rw(geom, rw[:c])
@@ -368,6 +369,7 @@ def propagate_banded(
     matmul_dtype: Optional[jnp.dtype] = None,
     square_times: Optional[int] = None,
     bs: int = 512,
+    bj: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """:func:`propagate` evaluated with the banded kernels (single-device
@@ -384,7 +386,7 @@ def propagate_banded(
     )
     return apply_transition_banded(
         geom, cam_capped, edge_capped, t, band, 1 << (exp_times - e),
-        matmul_dtype, bs, interpret,
+        matmul_dtype, bs, bj, interpret,
     )
 
 

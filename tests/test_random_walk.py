@@ -226,3 +226,30 @@ def test_banded_fits_gates():
     geom = rw_mod.build_geometry(16, 16, radius=2)
     # tiny grid: band covers the matrix -> dense fallback required
     assert not rw_mod.banded_fits(geom, 3, 2, bs=512)
+
+
+def test_apply_chain_rect_tiles_ignore_out_of_band_garbage(rng):
+    """Rectangular (bj > bs) apply tiles can straddle square_banded's
+    written-band boundary; the operand-downcast band mask must keep the
+    unspecified fill out of the result. Poison is planted exactly where
+    the contract allows it: beyond the written square-block band."""
+    from irn_tpu.ops.matpow_pallas import apply_banded_chain
+
+    n, bs, h = 1024, 128, 130
+    r = np.arange(n)
+    band = np.abs(r[:, None] - r[None, :]) <= h
+    t = np.zeros((n, n), np.float32)
+    t[band] = rng.random(band.sum(), dtype=np.float32) * 0.01
+    tp = t.copy()
+    kh = -(-h // bs)
+    bi = r // bs
+    written = np.abs(bi[:, None] - bi[None, :]) <= kh
+    tp[~written] = 1e6
+    x = rng.random((8, n), dtype=np.float32)
+    want = x @ t @ t @ t @ t
+    for bsz, bj in [(128, 128), (128, 512), (256, 512)]:
+        got = np.asarray(
+            apply_banded_chain(jnp.asarray(x), jnp.asarray(tp), h, 4,
+                               bs=bsz, bj=bj, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
