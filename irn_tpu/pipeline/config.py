@@ -106,6 +106,15 @@ class Config:
                                           # (feeds the MXU; 1 = per-image;
                                           # v5e sweep: 16.8/46.7/77/81 img/s
                                           # at k=1/8/16/32 — 16 is the knee)
+    edge_infer_batch: int = 1             # make_sem_seg/make_ins_seg:
+                                          # images per EdgeDisplacement
+                                          # forward (any size mix batches —
+                                          # all share the padded buffer).
+                                          # Default 1: unlike make_cam's 8
+                                          # small passes, this is already
+                                          # ONE well-fed [2,512,512] pass;
+                                          # v5e sweep 17.9/17.6/21.1 ms at
+                                          # B=1/4/8 (tools/bench_edge.py)
     compile_cache_dir: str = ""
     overwrite: bool = False               # rerun stages over existing outputs
     mesh_data: int = 0                    # 0 = all devices

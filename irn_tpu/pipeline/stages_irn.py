@@ -153,15 +153,15 @@ class EdgeDisplacementRunner:
         self.model = IRNet(dtype=jnp.dtype(cfg.model_dtype))
         self.variables = variables
         self.cap = cfg.rw_grid_cap
+        self.batch_size = max(1, cfg.edge_infer_batch)
 
         from irn_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)
+        cap = self.cap
 
-        @jax.jit
-        def run(img_u8: jax.Array, h_px: jax.Array, w_px: jax.Array,
-                h4: jax.Array, w4: jax.Array):
+        def prep(img_u8, h_px, w_px):
             # normalize + build the flip pair on device: the host uploads
             # one uint8 image (8x less host->device traffic than an fp32
             # (orig, flip) pair). Padding must be zero in NORMALIZED space
@@ -172,12 +172,10 @@ class EdgeDisplacementRunner:
             pc = jax.lax.broadcasted_iota(jnp.int32, x.shape[:2], 1)
             x = jnp.where(((pr < h_px) & (pc < w_px))[..., None], x, 0.0)
             flip = jnp.roll(x[:, ::-1, :], -(x.shape[1] - w_px), axis=1)
-            pair = jnp.stack([x, flip], axis=0)
-            edge_logit, dp = self.model.apply(
-                self.variables, pair, apply_mean_shift=True
-            )
-            cap = self.cap
-            e = edge_logit[..., 0]  # [2, cap, cap]
+            return jnp.stack([x, flip], axis=0)  # [2, cap_px, cap_px, 3]
+
+        def fuse(e, d, h4, w4):
+            # e [2, cap, cap] edge logits, d [2, cap, cap, 2] displacements
             flipped = e[1][:, ::-1]
             # align the flipped valid region to columns [0, w4)
             flipped = jnp.roll(flipped, -(cap - w4), axis=1)
@@ -186,10 +184,37 @@ class EdgeDisplacementRunner:
             cols = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 1)
             valid = (rows < h4) & (cols < w4)
             edge = jnp.where(valid, edge, 1.0)  # hard boundary beyond extent
-            d = jnp.where(valid[None], jnp.transpose(dp[0], (2, 0, 1)), 0.0)
-            return edge, d
+            dp = jnp.where(valid[None], jnp.transpose(d[0], (2, 0, 1)), 0.0)
+            return edge, dp
+
+        @jax.jit
+        def run(img_u8: jax.Array, h_px: jax.Array, w_px: jax.Array,
+                h4: jax.Array, w4: jax.Array):
+            pair = prep(img_u8, h_px, w_px)
+            edge_logit, dp = self.model.apply(
+                self.variables, pair, apply_mean_shift=True
+            )
+            return fuse(edge_logit[..., 0], dp, h4, w4)
+
+        @jax.jit
+        def run_batch(imgs_u8: jax.Array, h_px: jax.Array, w_px: jax.Array,
+                      h4: jax.Array, w4: jax.Array):
+            # one [2B, cap_px, cap_px, 3] backbone pass for B images (every
+            # image shares the padded crop buffer, so any size mix batches
+            # — the fan-out the reference gets from per-GPU spawn,
+            # make_sem_seg_labels.py:67-70, plus MXU-feeding batching)
+            pairs = jax.vmap(prep)(imgs_u8, h_px, w_px)
+            b = pairs.shape[0]
+            flat = pairs.reshape((2 * b,) + pairs.shape[2:])
+            edge_logit, dp = self.model.apply(
+                self.variables, flat, apply_mean_shift=True
+            )
+            e = edge_logit[..., 0].reshape(b, 2, cap, cap)
+            d = dp.reshape(b, 2, cap, cap, 2)
+            return jax.vmap(fuse)(e, d, h4, w4)
 
         self._run = run
+        self._run_batch = run_batch
 
     def __call__(self, img_u8: np.ndarray, size: Tuple[int, int],
                  device=None):
@@ -209,6 +234,39 @@ class EdgeDisplacementRunner:
             padded, jnp.int32(h), jnp.int32(w), jnp.int32(h4), jnp.int32(w4)
         )
         return edge, dp, (h4, w4)
+
+    def batch(self, imgs, sizes, device=None):
+        """One EdgeDisplacement forward for up to ``batch_size`` images.
+
+        imgs: list of [H, W, 3] uint8 arrays; sizes: their true (H, W).
+        Returns a list of (edge, dp, (h4, w4)) matching :meth:`__call__`
+        exactly (the batch is padded to the fixed program size with empty
+        slots — h4 = 0 masks them completely). One image falls through to
+        the per-image program."""
+        assert len(imgs) <= self.batch_size, (len(imgs), self.batch_size)
+        if self.batch_size == 1 or len(imgs) == 1:
+            return [
+                self(im, sz, device=device) for im, sz in zip(imgs, sizes)
+            ]
+        b = self.batch_size
+        cap_px = self.cap * 4
+        buf = np.zeros((b, cap_px, cap_px, 3), np.uint8)
+        hw = np.zeros((4, b), np.int32)  # h_px, w_px, h4, w4
+        for j, (im, size) in enumerate(zip(imgs, sizes)):
+            h, w, _ = im.shape
+            assert h <= cap_px and w <= cap_px, (h, w, cap_px)
+            buf[j, :h, :w] = im
+            hw[:, j] = (h, w, (size[0] - 1) // 4 + 1, (size[1] - 1) // 4 + 1)
+        if device is not None:
+            buf = jax.device_put(buf, device)
+        edges, dps = self._run_batch(
+            buf, jnp.asarray(hw[0]), jnp.asarray(hw[1]),
+            jnp.asarray(hw[2]), jnp.asarray(hw[3]),
+        )
+        return [
+            (edges[j], dps[j], (int(hw[2, j]), int(hw[3, j])))
+            for j in range(len(imgs))
+        ]
 
 
 class RandomWalkRunner:
@@ -467,14 +525,27 @@ def _raw_infer_dataset(cfg: Config):
     return voc12.ImageDataset(cfg.infer_list, cfg.voc12_root, img_normal=False)
 
 
+def _pending_indices(ds, out_dir: str, ext: str, overwrite: bool):
+    """Host-shard indices whose output artifact doesn't exist yet
+    (idempotent-stage skip, checked by name without decoding images)."""
+    return [
+        i
+        for i in common.host_shard_range(len(ds))
+        if overwrite
+        or not os.path.exists(
+            os.path.join(out_dir, ds.img_name_list[i] + ext)
+        )
+    ]
+
+
 def make_sem_seg_labels(cfg: Config) -> None:
     """Random-walk pseudo semantic masks (step/make_sem_seg_labels.py),
-    software-pipelined AND device-fanned-out: per-image programs commit to
-    local devices round-robin (the reference's per-GPU spawn,
-    make_sem_seg_labels.py:67-70, inside one process), the dispatch front
-    runs one full device rotation ahead, and the blocking label fetch
-    happens n_devices images behind — every chip computes while the host
-    reads/writes."""
+    batched, software-pipelined AND device-fanned-out: EdgeDisplacement
+    runs edge_infer_batch images per forward (all images share the padded
+    crop buffer), blocks commit to local devices round-robin (the
+    reference's per-GPU spawn, make_sem_seg_labels.py:67-70, inside one
+    process), and the blocking label fetch trails the dispatch front —
+    every chip computes while the host reads/writes."""
     from collections import deque
 
     runner = _load_irn(cfg)
@@ -496,29 +567,36 @@ def make_sem_seg_labels(cfg: Config) -> None:
         if i % max(n // 20, 1) == 0:
             print(f"make_sem_seg {i}/{n}", flush=True)
 
-    for i in common.host_shard_range(n):
-        sample = ds[i]
-        name = sample["name"]
-        out_path = os.path.join(cfg.sem_seg_out_dir, name + ".png")
-        if not cfg.overwrite and os.path.exists(out_path):
-            continue
-        img_u8 = sample["img"].astype(np.uint8)
-        size = img_u8.shape[:2]
-        dev = spread(i)
-        edge, _, (h4, w4) = runner(img_u8, size, device=dev)
+    todo = _pending_indices(ds, cfg.sem_seg_out_dir, ".png", cfg.overwrite)
+    bsz = runner.batch_size
+    for c, c0 in enumerate(range(0, len(todo), bsz)):
+        block = todo[c0 : c0 + bsz]
+        dev = spread(c)
+        samples = [ds[i] for i in block]
+        imgs = [s["img"].astype(np.uint8) for s in samples]
+        sizes = [im.shape[:2] for im in imgs]
+        fw = runner.batch(imgs, sizes, device=dev)
 
-        cam_dict = np.load(
-            os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True
-        ).item()
-        cams = np.asarray(cam_dict["cam"], np.float32)  # [K, h4, w4]
-        keys = np.pad(np.asarray(cam_dict["keys"]) + 1, (1, 0), mode="constant")
+        for i, sample, size, (edge, _, (h4, w4)) in zip(
+            block, samples, sizes, fw
+        ):
+            name = sample["name"]
+            out_path = os.path.join(cfg.sem_seg_out_dir, name + ".png")
+            cam_dict = np.load(
+                os.path.join(cfg.cam_out_dir, name + ".npy"),
+                allow_pickle=True,
+            ).item()
+            cams = np.asarray(cam_dict["cam"], np.float32)  # [K, h4, w4]
+            keys = np.pad(
+                np.asarray(cam_dict["keys"]) + 1, (1, 0), mode="constant"
+            )
 
-        labels, _ = walker(
-            cams, edge, h4, w4, size, cfg.sem_seg_bg_thres, device=dev
-        )
-        pending.append((i, out_path, size, keys, labels))
-        while len(pending) > len(spread):
-            finish(pending.popleft())
+            labels, _ = walker(
+                cams, edge, h4, w4, size, cfg.sem_seg_bg_thres, device=dev
+            )
+            pending.append((i, out_path, size, keys, labels))
+            while len(pending) > len(spread):
+                finish(pending.popleft())
     while pending:
         finish(pending.popleft())
 
@@ -527,9 +605,9 @@ def make_ins_seg_labels(cfg: Config) -> None:
     """Instance pseudo masks (step/make_ins_seg_labels.py). The per-image
     flow interleaves device programs with host centroid clustering, so the
     device fan-out runs one worker thread per local device: thread t's
-    images commit to device t, host post-processing overlaps across
-    threads (the reference spawns one process per GPU,
-    make_ins_seg_labels.py:168-171)."""
+    image blocks commit to device t (EdgeDisplacement batched per block),
+    host post-processing overlaps across threads (the reference spawns one
+    process per GPU, make_ins_seg_labels.py:168-171)."""
     from concurrent.futures import ThreadPoolExecutor
 
     runner = _load_irn(cfg)
@@ -542,16 +620,11 @@ def make_ins_seg_labels(cfg: Config) -> None:
 
     n = len(ds)
 
-    def work(i: int) -> None:
-        sample = ds[i]
+    def work_one(i, sample, edge, dp, h4, w4, dev) -> None:
         name = sample["name"]
         out_path = os.path.join(cfg.ins_seg_out_dir, name + ".npy")
-        if not cfg.overwrite and os.path.exists(out_path):
-            return
         img_u8 = sample["img"].astype(np.uint8)
         size = img_u8.shape[:2]
-        dev = spread(i)
-        edge, dp, (h4, w4) = runner(img_u8, size, device=dev)
 
         cam_dict = np.load(
             os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True
@@ -618,5 +691,19 @@ def make_ins_seg_labels(cfg: Config) -> None:
         if i % max(n // 20, 1) == 0:
             print(f"make_ins_seg {i}/{n}", flush=True)
 
+    todo = _pending_indices(ds, cfg.ins_seg_out_dir, ".npy", cfg.overwrite)
+    bsz = runner.batch_size
+    blocks = [todo[c0 : c0 + bsz] for c0 in range(0, len(todo), bsz)]
+
+    def work(args) -> None:
+        c, block = args
+        dev = spread(c)
+        samples = [ds[i] for i in block]
+        imgs = [s["img"].astype(np.uint8) for s in samples]
+        sizes = [im.shape[:2] for im in imgs]
+        fw = runner.batch(imgs, sizes, device=dev)
+        for i, sample, (edge, dp, (h4, w4)) in zip(block, samples, fw):
+            work_one(i, sample, edge, dp, h4, w4, dev)
+
     with ThreadPoolExecutor(max_workers=max(1, len(spread))) as pool:
-        list(pool.map(work, common.host_shard_range(n)))
+        list(pool.map(work, enumerate(blocks)))

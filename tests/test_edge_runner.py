@@ -45,3 +45,33 @@ def test_runner_matches_host_reference_semantics(rng):
     # hard boundary / zero displacement beyond extent
     assert (got_edge[h4:, :] == 1.0).all() and (got_edge[:, w4:] == 1.0).all()
     assert (got_dp[:, h4:, :] == 0).all() and (got_dp[:, :, w4:] == 0).all()
+
+
+def test_batched_runner_matches_per_image(rng):
+    """runner.batch (one [2B] forward, empty slots masked) must reproduce
+    the per-image programs exactly for a mixed-size block, including a
+    partial batch that leaves padded slots."""
+    cfg = Config(rw_grid_cap=32, edge_infer_batch=4)
+    model = IRNet()
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 128, 128, 3), np.float32)
+    )
+    variables = jax.tree.map(np.asarray, variables)
+    runner = EdgeDisplacementRunner(cfg, variables)
+
+    shapes = [(100, 116), (128, 128), (64, 91)]  # partial block of 3 < B=4
+    imgs = [
+        rng.integers(0, 255, (h, w, 3)).astype(np.uint8) for h, w in shapes
+    ]
+    sizes = [im.shape[:2] for im in imgs]
+    got = runner.batch(imgs, sizes)
+    assert len(got) == 3
+    for im, size, (edge_b, dp_b, hw_b) in zip(imgs, sizes, got):
+        edge_1, dp_1, hw_1 = runner(im, size)
+        assert hw_b == hw_1
+        np.testing.assert_allclose(
+            np.asarray(edge_b), np.asarray(edge_1), atol=2e-5, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(dp_b), np.asarray(dp_1), atol=2e-5, rtol=1e-5
+        )
