@@ -390,6 +390,20 @@ def propagate_banded(
     )
 
 
+def pick_square_times_banded(exp_times: int) -> int:
+    """Squarings-vs-applications split for the BANDED kernels: e=1.
+
+    Banded per-application traffic is ~n*(2*ceil(h*2^e/bs)+1)*bs bytes
+    over 2^(E-e) applications — the block-quantization constant (+1 tile
+    per column) shrinks with e while squaring cost quadruples per step,
+    leaving a flat e=1/e=2 valley. Measured on v5e-1 at both production
+    buckets (tools/bench_banded.py, BASELINE.md): 43.2/44.4 ms at
+    n=14336 and 62.2/64.7 ms at n=18432 for e=1/e=2 — e=1 wins both, and
+    the dense :func:`pick_square_times` model (which picks 2 at 18432)
+    doesn't transfer."""
+    return min(1, exp_times)
+
+
 def pick_square_times(
     n_pad: int,
     exp_times: int,

@@ -324,6 +324,20 @@ class RandomWalkRunner:
             and rw_mod.banded_fits(geom, self.exp_times, sq)
         )
 
+    def _resolve(self, geom):
+        """(square_times, banded) for this geometry: the dense cost model
+        picks e, then — if the banded kernels engage and the user didn't
+        pin rw_square_times — the banded-measured split overrides it
+        (pick_square_times_banded; the dense model's e=2 choice at 18432
+        loses 4% to e=1 under the banded kernels)."""
+        sq = self._square_times(geom)
+        banded = self._use_banded(geom, sq)
+        if banded and self.square_times_cfg < 0:
+            sqb = rw_mod.pick_square_times_banded(self.exp_times)
+            if rw_mod.banded_fits(geom, self.exp_times, sqb):
+                sq = sqb
+        return sq, banded
+
     def _program(self, cap_h: int, cap_w: int):
         key = (cap_h, cap_w)
         with self._lock:
@@ -331,8 +345,7 @@ class RandomWalkRunner:
                 return self._programs[key]
             geom = rw_mod.build_geometry(cap_h, cap_w, radius=self.radius)
             mesh = self.mesh
-            sq = self._square_times(geom)
-            banded = self._use_banded(geom, sq)
+            sq, banded = self._resolve(geom)
 
             @jax.jit
             def run(cam: jax.Array, edge: jax.Array, h4, w4, h0, w0, bg_thres):
@@ -371,9 +384,8 @@ class RandomWalkRunner:
                 return self._programs[key]
             geom = rw_mod.build_geometry(cap_h, cap_w, radius=self.radius)
             mesh = self.mesh
-            sq = self._square_times(geom)
+            sq, banded = self._resolve(geom)
             n_apply = 1 << (self.exp_times - sq)
-            banded = self._use_banded(geom, sq)
             band = rw_mod.band_halfwidth(geom) << sq
 
             @jax.jit
