@@ -34,14 +34,79 @@ def shifted_window(x: jax.Array, dy: int, dx: int, rf: int,
     return x[..., dy : dy + ch, rf + dx : rf + dx + cw]
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _path_max(stack: jax.Array, table) -> jax.Array:
+    """max over path cells: [U, ...] stack, static [n_pairs, L_max] cell
+    table -> [n_pairs, ...].
+
+    A plain ``lax.scan`` running max stores every carry for the backward
+    pass — [L_max, n_pairs, B, ch, cw] f32 is 5.4 GB at the production IRN
+    train shapes (radius 10, batch 32), which OOMs a 16 GB chip. This
+    custom VJP keeps only the winning cell index (int8, 64 MB) and
+    scatter-routes the cotangent to it. Winner-take-all at ties (first
+    maximal cell) — the torch reference's ``max_pool2d`` backward semantics
+    (resnet50_irn.py:170), where JAX's builtin max-grad would split ties."""
+    val, _ = _path_max_scan(stack, table)
+    return val
+
+
+def _path_max_scan(stack, table):
+    table_j = jnp.asarray(np.asarray(table))
+    val = stack[table_j[:, 0]]  # [n_pairs, ...]
+    arg = jnp.zeros(val.shape, jnp.int8)
+    ls = jnp.arange(1, table_j.shape[1], dtype=jnp.int32)
+
+    def step(carry, xs):
+        v, a = carry
+        l, idx = xs
+        cand = stack[idx]
+        take = cand > v
+        return (
+            jnp.where(take, cand, v),
+            jnp.where(take, l.astype(jnp.int8), a),
+        ), None
+
+    (val, arg), _ = jax.lax.scan(step, (val, arg), (ls, table_j[:, 1:].T))
+    return val, arg
+
+
+def _path_max_fwd(stack, table):
+    val, arg = _path_max_scan(stack, table)
+    return val, arg
+
+
+def _path_max_bwd(table, arg, g):
+    table_np = np.asarray(table)
+    n_u = int(table_np.max()) + 1  # every stack row is referenced
+    table_j = jnp.asarray(table_np)
+    ls = jnp.arange(table_j.shape[1], dtype=jnp.int32)
+    grad0 = jnp.zeros((n_u,) + g.shape[1:], g.dtype)
+
+    def step(grad_stack, xs):
+        l, idx = xs
+        contrib = jnp.where(arg == l.astype(jnp.int8), g, 0.0)
+        return grad_stack.at[idx].add(contrib), None
+
+    grad_stack, _ = jax.lax.scan(step, grad0, (ls, table_j.T))
+    return (grad_stack,)
+
+
+_path_max.defvjp(_path_max_fwd, _path_max_bwd)
+
+
 def path_affinity(edge2d: jax.Array, path_set: PathSet) -> jax.Array:
     """Path affinities from a 2-D edge map — gather-free formulation.
 
     Equivalent to :func:`edge_to_affinity` but built from statically-shifted
-    window slices reduced with a short ``lax.scan``, so the compiled program
-    carries only a tiny [n_pairs, L_max] cell table instead of multi-million
-    element gather-index literals (which cost minutes of XLA compile time
-    and serialize on TPU).
+    window slices reduced with a short ``lax.scan`` (:func:`_path_max`:
+    memory-lean custom VJP, winner-take-all like the reference's
+    max_pool2d), so the compiled program carries only a tiny
+    [n_pairs, L_max] cell table instead of multi-million element
+    gather-index literals (which cost minutes of XLA compile time and
+    serialize on TPU).
 
     Args:
       edge2d: [..., H, W] edge strength in [0, 1].
@@ -61,13 +126,7 @@ def path_affinity(edge2d: jax.Array, path_set: PathSet) -> jax.Array:
          for dy, dx in cells_u],
         axis=0,
     )
-    table_j = jnp.asarray(table)  # [n_pairs, L_max], tiny
-
-    def step(carry, idx):
-        return jnp.maximum(carry, stack[idx]), None
-
-    init = stack[table_j[:, 0]]  # [n_pairs, ..., ch, cw]
-    maxed, _ = jax.lax.scan(step, init, table_j[:, 1:].T)
+    maxed = _path_max(stack, tuple(map(tuple, np.asarray(table).tolist())))
     aff = 1.0 - maxed  # [n_pairs, ..., ch, cw]
     aff = jnp.moveaxis(aff, 0, -3) if edge2d.ndim > 2 else aff
     return aff.reshape(edge2d.shape[:-2] + (path_set.n_pairs, ch * cw))
