@@ -38,75 +38,97 @@ import functools
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _path_max(stack: jax.Array, table) -> jax.Array:
-    """max over path cells: [U, ...] stack, static [n_pairs, L_max] cell
-    table -> [n_pairs, ...].
+def _path_max(edge2d: jax.Array, meta) -> jax.Array:
+    """Per-pair max of the edge map over each path's cells, fully static.
 
-    A plain ``lax.scan`` running max stores every carry for the backward
-    pass — [L_max, n_pairs, B, ch, cw] f32 is 5.4 GB at the production IRN
-    train shapes (radius 10, batch 32), which OOMs a 16 GB chip. This
-    custom VJP keeps only the winning cell index (int8, 64 MB) and
-    scatter-routes the cotangent to it. Winner-take-all at ties (first
-    maximal cell) — the torch reference's ``max_pool2d`` backward semantics
-    (resnet50_irn.py:170), where JAX's builtin max-grad would split ties."""
-    val, _ = _path_max_scan(stack, table)
+    ``meta`` = (rf, ch, cw, cells) with ``cells`` a tuple (per pair) of
+    (dy, dx) tuples (true path length, no padding). The forward is an
+    unrolled winner-take-all max chain over statically shifted window
+    slices — no gathers, no scan, so XLA fuses the whole reduction into
+    elementwise passes over the small edge map.
+
+    Memory: a plain ``lax.scan`` running max stores every carry for the
+    backward pass — [L_max, n_pairs, B, ch, cw] f32 is 5.4 GB at the
+    production IRN train shapes (radius 10, batch 32), which OOMed a
+    16 GB chip. This custom VJP keeps only the winning cell index (int8,
+    64 MB) and routes the cotangent to it: grouped per unique cell, the
+    backward is ~2r^2 fused masked sums + window-slice adds. Winner-take-
+    all at ties (first maximal cell, destination first) — the torch
+    reference's ``max_pool2d`` backward semantics (resnet50_irn.py:170),
+    where JAX's builtin max-grad would split ties."""
+    val, _ = _path_max_unrolled(edge2d, meta)
     return val
 
 
-def _path_max_scan(stack, table):
-    table_j = jnp.asarray(np.asarray(table))
-    val = stack[table_j[:, 0]]  # [n_pairs, ...]
-    arg = jnp.zeros(val.shape, jnp.int8)
-    ls = jnp.arange(1, table_j.shape[1], dtype=jnp.int32)
+def _path_max_unrolled(edge2d, meta):
+    rf, ch, cw, cells = meta
+    vals, args = [], []
+    for path in cells:
+        dy, dx = path[0]
+        m = shifted_window(edge2d, dy, dx, rf, ch, cw)
+        a = jnp.zeros(m.shape, jnp.int8)
+        for l in range(1, len(path)):
+            dy, dx = path[l]
+            wl = shifted_window(edge2d, dy, dx, rf, ch, cw)
+            take = wl > m
+            m = jnp.where(take, wl, m)
+            a = jnp.where(take, jnp.int8(l), a)
+        vals.append(m)
+        args.append(a)
+    # [n_pairs, ..., ch, cw]
+    return jnp.stack(vals), jnp.stack(args)
 
-    def step(carry, xs):
-        v, a = carry
-        l, idx = xs
-        cand = stack[idx]
-        take = cand > v
-        return (
-            jnp.where(take, cand, v),
-            jnp.where(take, l.astype(jnp.int8), a),
-        ), None
 
-    (val, arg), _ = jax.lax.scan(step, (val, arg), (ls, table_j[:, 1:].T))
+def _path_max_fwd(edge2d, meta):
+    val, arg = _path_max_unrolled(edge2d, meta)
     return val, arg
 
 
-def _path_max_fwd(stack, table):
-    val, arg = _path_max_scan(stack, table)
-    return val, arg
-
-
-def _path_max_bwd(table, arg, g):
-    table_np = np.asarray(table)
-    n_u = int(table_np.max()) + 1  # every stack row is referenced
-    table_j = jnp.asarray(table_np)
-    ls = jnp.arange(table_j.shape[1], dtype=jnp.int32)
-    grad0 = jnp.zeros((n_u,) + g.shape[1:], g.dtype)
-
-    def step(grad_stack, xs):
-        l, idx = xs
-        contrib = jnp.where(arg == l.astype(jnp.int8), g, 0.0)
-        return grad_stack.at[idx].add(contrib), None
-
-    grad_stack, _ = jax.lax.scan(step, grad0, (ls, table_j.T))
-    return (grad_stack,)
+def _path_max_bwd(meta, arg, g):
+    rf, ch, cw, cells = meta
+    # g, arg: [n_pairs, ..., ch, cw]; the primal edge map restores the
+    # window crops: [..., ch + rf, cw + 2*rf]
+    edge_shape = g.shape[1:-2] + (ch + rf, cw + 2 * rf)
+    by_cell = {}
+    for p, path in enumerate(cells):
+        for l, c in enumerate(path):
+            by_cell.setdefault(c, []).append((p, l))
+    grad = jnp.zeros(edge_shape, g.dtype)
+    for (dy, dx), plist in by_cell.items():
+        s = None
+        for p, l in plist:
+            contrib = jnp.where(arg[p] == jnp.int8(l), g[p], 0.0)
+            s = contrib if s is None else s + contrib
+        grad = grad.at[..., dy : dy + ch, rf + dx : rf + dx + cw].add(s)
+    return (grad,)
 
 
 _path_max.defvjp(_path_max_fwd, _path_max_bwd)
 
 
+def _path_cells_meta(path_set: PathSet, ch: int, cw: int):
+    """Hashable (rf, ch, cw, cells) for :func:`_path_max`; padded positions
+    (which repeat the destination cell and can never win the strict-> max)
+    are dropped via the true lengths."""
+    cells = tuple(
+        tuple(
+            (int(dy), int(dx))
+            for dy, dx in path_set.cells[p][: int(path_set.lengths[p])]
+        )
+        for p in range(path_set.n_pairs)
+    )
+    return (path_set.radius_floor, ch, cw, cells)
+
+
 def path_affinity(edge2d: jax.Array, path_set: PathSet) -> jax.Array:
     """Path affinities from a 2-D edge map — gather-free formulation.
 
-    Equivalent to :func:`edge_to_affinity` but built from statically-shifted
-    window slices reduced with a short ``lax.scan`` (:func:`_path_max`:
-    memory-lean custom VJP, winner-take-all like the reference's
-    max_pool2d), so the compiled program carries only a tiny
-    [n_pairs, L_max] cell table instead of multi-million element
-    gather-index literals (which cost minutes of XLA compile time and
-    serialize on TPU).
+    Equivalent to :func:`edge_to_affinity` but an unrolled max chain over
+    statically-shifted window slices (:func:`_path_max`: memory-lean
+    custom VJP, winner-take-all like the reference's max_pool2d), so the
+    compiled program carries only tiny slice offsets instead of
+    multi-million element gather-index literals (which cost minutes of
+    XLA compile time and serialize on TPU).
 
     Args:
       edge2d: [..., H, W] edge strength in [0, 1].
@@ -118,24 +140,10 @@ def path_affinity(edge2d: jax.Array, path_set: PathSet) -> jax.Array:
     rf = path_set.radius_floor
     h, w = edge2d.shape[-2], edge2d.shape[-1]
     ch, cw = h - rf, w - 2 * rf
-    cells_u, table = paths_unique_cells(path_set)
-
-    # [U, ..., ch, cw] stack of unique shifted windows (U ~ 2 r^2)
-    stack = jnp.stack(
-        [shifted_window(edge2d, int(dy), int(dx), rf, ch, cw)
-         for dy, dx in cells_u],
-        axis=0,
-    )
-    maxed = _path_max(stack, tuple(map(tuple, np.asarray(table).tolist())))
+    maxed = _path_max(edge2d, _path_cells_meta(path_set, ch, cw))
     aff = 1.0 - maxed  # [n_pairs, ..., ch, cw]
     aff = jnp.moveaxis(aff, 0, -3) if edge2d.ndim > 2 else aff
     return aff.reshape(edge2d.shape[:-2] + (path_set.n_pairs, ch * cw))
-
-
-def paths_unique_cells(path_set: PathSet):
-    from irn_tpu.ops.paths import unique_cells
-
-    return unique_cells(path_set)
 
 
 def label_pair_views(label2d: jax.Array, path_set: PathSet):
