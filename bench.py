@@ -52,12 +52,11 @@ def main():
     # production defaults: cost-model split between squarings and thin
     # seed applications (rw_square_times=-1) + banded Pallas kernels on TPU
     # (rw_banded=True) — both as RandomWalkRunner._resolve does
-    sq = rw_mod.pick_square_times(geom.n_pad, exp_times, matmul_dtype=mm_dtype)
-    banded = on_tpu and rw_mod.banded_fits(geom, exp_times, sq)
-    if banded:
-        sqb = rw_mod.pick_square_times_banded(exp_times)
-        if rw_mod.banded_fits(geom, exp_times, sqb):
-            sq = sqb
+    sqb = rw_mod.pick_square_times_banded(exp_times)
+    banded = on_tpu and rw_mod.banded_fits(geom, exp_times, sqb)
+    sq = sqb if banded else rw_mod.pick_square_times(
+        geom.n_pad, exp_times, matmul_dtype=mm_dtype
+    )
 
     @jax.jit
     def run(cam, edge):

@@ -154,35 +154,6 @@ def mask_scores_by_instance(
     return out.reshape(c * k, *scores.shape[1:])
 
 
-MAX_COMPONENTS = 256
-
-
-@jax.jit
-def component_scores(rw_up: jax.Array, comp_map: jax.Array,
-                     comp_rows: jax.Array) -> jax.Array:
-    """Per-component max scores without fetching the [R, H, W] score
-    volume to host (device->host of rw_up dominates make_ins_seg wall time
-    on bandwidth-limited hosts).
-
-    Args:
-      rw_up: [R, H, W] per-seed-row upsampled scores (device-resident).
-      comp_map: [H, W] int32 — global component id (1..K; 0 = background).
-      comp_rows: [MAX_COMPONENTS + 1] int32 — seed row of each component id
-        (entry 0 unused).
-
-    Returns [MAX_COMPONENTS + 1] float32 where entry k = max score inside
-    component k (entry 0 = background, undefined).
-    """
-    row_map = comp_rows[comp_map]  # [H, W]
-    vals = jnp.take_along_axis(rw_up, row_map[None], axis=0)[0]
-    return jax.ops.segment_max(
-        vals.reshape(-1),
-        comp_map.reshape(-1),
-        num_segments=MAX_COMPONENTS + 1,
-        indices_are_sorted=False,
-    )
-
-
 def split_components(labels_np: np.ndarray, n_rows: int):
     """Global component map over the per-row masks of a decoded label map.
 

@@ -269,6 +269,8 @@ def banded_fits(
     the final band (after ``square_times`` doublings) must not cover the
     matrix — once any step would fall back to dense, the unspecified
     out-of-band blocks of earlier banded squarings would leak."""
+    if not 0 <= square_times <= exp_times:
+        raise ValueError(f"square_times={square_times} not in [0, {exp_times}]")
     n = geom.n_pad
     if n % bs:
         return False

@@ -77,14 +77,19 @@ class DeviceSpreader:
         if n_devices:
             devs = devs[:n_devices]
         self.devices = list(devs)
-        self.assigned = {d: 0 for d in self.devices}
+        # Counter.update is a C-level atomic per call — make_ins_seg calls
+        # the spreader from ThreadPoolExecutor workers, where a plain
+        # dict += would lose increments
+        from collections import Counter
+
+        self.assigned = Counter({d: 0 for d in self.devices})
 
     def __len__(self) -> int:
         return len(self.devices)
 
     def __call__(self, i: int):
         d = self.devices[i % len(self.devices)]
-        self.assigned[d] += 1
+        self.assigned.update([d])  # atomic, unlike dict read-modify-write
         return d
 
 

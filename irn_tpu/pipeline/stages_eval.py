@@ -84,9 +84,14 @@ def eval_ins_seg(cfg: Config):
     # Streaming: the evaluator zips its five sequences in lockstep, so
     # tee'd views over one record generator keep at most one image's masks
     # resident (the tee buffers never grow past a single record).
+    def field(f, k):
+        # closure binds (f, k) per stream — a bare nested genexp would
+        # late-bind both to their final loop values
+        return (r[k] for r in f)
+
     fields = itertools.tee(records(), 5)
     result = insseg.eval_instance_segmentation_voc(
-        *((r[k] for r in f) for k, f in enumerate(fields)), iou_thresh=0.5
+        *(field(f, k) for k, f in enumerate(fields)), iou_thresh=0.5
     )
     print("0.5iou:", result)
     return result

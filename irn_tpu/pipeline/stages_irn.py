@@ -325,18 +325,20 @@ class RandomWalkRunner:
         )
 
     def _resolve(self, geom):
-        """(square_times, banded) for this geometry: the dense cost model
-        picks e, then — if the banded kernels engage and the user didn't
-        pin rw_square_times — the banded-measured split overrides it
-        (pick_square_times_banded; the dense model's e=2 choice at 18432
-        loses 4% to e=1 under the banded kernels)."""
-        sq = self._square_times(geom)
-        banded = self._use_banded(geom, sq)
-        if banded and self.square_times_cfg < 0:
+        """(square_times, banded) for this geometry. Banded engages at the
+        banded-measured split (pick_square_times_banded — the dense
+        model's e=2 choice at 18432 loses 4% to e=1 under the banded
+        kernels) whenever THAT split's band fits; checking fit at the
+        dense pick first would miss geometries where only the smaller
+        banded exponent stays under the matrix. Falls back to the dense
+        cost model (with banded still possible at its pick when
+        rw_square_times pins the exponent)."""
+        if self.square_times_cfg < 0:
             sqb = rw_mod.pick_square_times_banded(self.exp_times)
-            if rw_mod.banded_fits(geom, self.exp_times, sqb):
-                sq = sqb
-        return sq, banded
+            if self._use_banded(geom, sqb):
+                return sqb, True
+        sq = self._square_times(geom)
+        return sq, self._use_banded(geom, sq)
 
     def _program(self, cap_h: int, cap_w: int):
         key = (cap_h, cap_w)
@@ -417,7 +419,10 @@ class RandomWalkRunner:
                 v = jnp.max(rw_up, axis=0)
                 r = jnp.argmax(rw_up, axis=0).astype(jnp.int32) + row0
                 # strict >: earlier chunks (lower rows) win ties, matching
-                # the fused path's single argmax tie-breaking
+                # the fused path's single argmax tie-breaking. (The fused
+                # decode argmaxes scores AFTER the monotone /max_score
+                # normalization; equal in exact arithmetic, so agreement
+                # holds except at f32 rounding-induced near-ties.)
                 take = v > best_val
                 return (
                     jnp.where(take, v, best_val),
@@ -498,7 +503,9 @@ class RandomWalkRunner:
                  device=None):
         """cam_rows: [K, h4, w4] seeds (K <= n_rows); edge [cap, cap] with
         1.0 beyond extent. Returns (labels [4ch, 4cw] in 0..n_rows,
-        rw_up [n_rows, 4ch, 4cw]) at the selected bucket size.
+        best [4ch, 4cw] per-pixel winning upsampled score — the row a
+        pixel's label names is its argmax, so this carries every
+        per-component max) at the selected bucket size.
 
         ``device``: commit inputs to a specific device (round-robin
         fan-out); ignored in mesh (rw_mesh_model > 1) mode, where one

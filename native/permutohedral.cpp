@@ -194,6 +194,10 @@ void Permutohedral::Filter(const float* in, float* out, int vd) const {
 #pragma omp parallel
     {
       const int t = omp_get_thread_num();
+      // the team that actually formed can be smaller than
+      // omp_get_max_threads() (OMP_DYNAMIC, nested regions): reduce over
+      // the real team size — slots beyond it stay empty and unread
+      const int team = omp_get_num_threads();
       auto& acc = partial[t];
       acc.assign(n_lattice_ * static_cast<std::size_t>(vd), 0.f);
 #pragma omp for schedule(static)
@@ -211,7 +215,7 @@ void Permutohedral::Filter(const float* in, float* out, int vd) const {
       for (std::int64_t i = 0;
            i < static_cast<std::int64_t>(n_lattice_) * vd; ++i) {
         float s = 0.f;
-        for (int u = 0; u < nt; ++u) s += partial[u][i];
+        for (int u = 0; u < team; ++u) s += partial[u][i];
         a[i] = s;
       }
     }

@@ -1,6 +1,8 @@
-"""Device component scoring equals the host detect_instance path."""
+"""Component splitting + winning-score-map scoring equal the host
+detect_instance path (the reduction make_ins_seg_labels actually runs:
+only the label map and the per-pixel winning score cross device->host,
+stages_irn.py)."""
 
-import jax.numpy as jnp
 import numpy as np
 
 from irn_tpu.ops import centroids as cm
@@ -21,12 +23,15 @@ def test_split_components_and_scores_match_host(rng):
     assert comp_rows.tolist() == [0, 0, 2, 5]
     assert comp_sizes.tolist() == [64, 60, 100, 8 * 13]
 
-    rows_vec = np.zeros(cm.MAX_COMPONENTS + 1, np.int32)
-    rows_vec[1 : len(comp_rows) + 1] = comp_rows
-    scores = np.asarray(
-        cm.component_scores(jnp.asarray(rw_up), jnp.asarray(comp_map),
-                            jnp.asarray(rows_vec))
-    )
+    # the stage's scoring reduction: at any pixel a component owns, its
+    # row is the per-pixel argmax, so the winning-score map carries every
+    # per-component max (stages_irn.py make_ins_seg_labels)
+    best = np.take_along_axis(
+        rw_up, (labels - 1).clip(0, n_rows - 1)[None], axis=0
+    )[0]
+    k_comps = comp_rows.shape[0]
+    scores = np.zeros(k_comps + 1, np.float32)
+    np.maximum.at(scores, comp_map.reshape(-1), best.reshape(-1))
 
     # host oracle: detect_instance over the per-row one-hot masks
     from irn_tpu.ops import cc
@@ -35,9 +40,8 @@ def test_split_components_and_scores_match_host(rng):
     class_ids = np.arange(n_rows)
     det = cm.detect_instance(rw_up, instance_shape, class_ids,
                              max_fragment_size=0)
-    np.testing.assert_allclose(
-        scores[1 : len(comp_rows) + 1], det["score"], rtol=1e-6
-    )
+    np.testing.assert_allclose(scores[1 : k_comps + 1], det["score"],
+                               rtol=1e-6)
     # masks identical
-    for k in range(len(comp_rows)):
+    for k in range(k_comps):
         np.testing.assert_array_equal(comp_map == k + 1, det["mask"][k])
