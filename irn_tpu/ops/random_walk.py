@@ -278,6 +278,24 @@ def banded_fits(
     return 2 * (-(-h_final // bs)) + 1 < n // bs
 
 
+def banded_sharded_fits(
+    geom: RandomWalkGeometry,
+    exp_times: int,
+    square_times: int,
+    n_model: int,
+) -> bool:
+    """Gate for the halo-exchange sharded path
+    (:mod:`irn_tpu.parallel.rw_sharded`): rows must split evenly and the
+    final band must stay well under the matrix (beyond ~n/4 halfwidth the
+    halo exchange approaches the all-gather it replaces)."""
+    if not 0 <= square_times <= exp_times:
+        raise ValueError(f"square_times={square_times} not in [0, {exp_times}]")
+    n = geom.n_pad
+    if n_model < 2 or n % n_model:
+        return False
+    return 4 * (band_halfwidth(geom) << square_times) <= n
+
+
 def propagate_with_transition(
     geom: RandomWalkGeometry,
     cam_capped: jax.Array,
@@ -440,6 +458,7 @@ def propagate(
     matmul_dtype: Optional[jnp.dtype] = None,
     mesh=None,
     square_times: Optional[int] = None,
+    mesh_banded: bool = True,
 ) -> jax.Array:
     """Random-walk propagation of seed maps to boundaries.
 
@@ -447,9 +466,14 @@ def propagate(
       cam_capped: [C, cap_h, cap_w] seed score maps (zeros beyond extent).
       edge_capped: [cap_h, cap_w] edge map (1.0 beyond extent).
       mesh: optional Mesh with a >1 "model" axis: the transition matrix is
-        block-row sharded over it for every squaring and the final x @ T
-        (the "long-context" scaling mode; each device's full-k contraction
-        keeps results bit-identical to single-device execution).
+        block-row sharded over it (the "long-context" scaling mode). When
+        the band permits (:func:`banded_sharded_fits`) and ``mesh_banded``,
+        squarings exchange only band halos over ICI and T stays sharded
+        end-to-end (psum-reduced applications) — comms O(h*n) per squaring
+        and per-device HBM never holds the full matrix. Otherwise the
+        partitioner's dense collective matmul runs with a replicated
+        gather at the end (full-k contraction: bit-identical to
+        single-device execution).
       square_times: squarings before switching to thin applications
         (None = exp_times, the reference's pure-squaring evaluation;
         :func:`pick_square_times` chooses the fast hybrid).
@@ -460,6 +484,24 @@ def propagate(
     e = exp_times if square_times is None else square_times
     if not 0 <= e <= exp_times:
         raise ValueError(f"square_times={e} not in [0, {exp_times}]")
+    n_model = mesh.shape.get("model", 1) if mesh is not None else 1
+    if (
+        mesh_banded
+        and n_model > 1
+        and banded_sharded_fits(geom, exp_times, e, n_model)
+    ):
+        from irn_tpu.parallel import rw_sharded
+
+        scaled = dense_affinity(geom, edge_capped) ** beta
+        t = scaled / jnp.sum(scaled, axis=0, keepdims=True)
+        t = rw_sharded.banded_power_in_jit(
+            t, e, band_halfwidth(geom), mesh, matmul_dtype
+        )
+        seeds = _flat_seeds(geom, cam_capped, edge_capped)
+        rw = rw_sharded.banded_apply_in_jit(
+            seeds, t, 1 << (exp_times - e), mesh, matmul_dtype
+        )
+        return _unflatten_rw(geom, rw)
     t = build_transition(geom, edge_capped, beta, e, matmul_dtype, mesh)
     return propagate_with_transition(
         geom, cam_capped, edge_capped, t, matmul_dtype,

@@ -65,3 +65,154 @@ def sharded_propagate_rows(
         return jnp.dot(seeds, t, precision=jax.lax.Precision.HIGHEST)
 
     return run(seeds, t)
+
+
+# ---------------------------------------------------------------------------
+# Banded sharded path: halo exchange instead of all-gather
+# ---------------------------------------------------------------------------
+#
+# The transition matrix is BANDED (halfwidth h = max dy*W + dx, doubling per
+# squaring — see ops/matpow_pallas). Row-sharded, device d's output rows
+# only contract k in [r - h, r + h]: it needs just ceil(h / n_loc) neighbor
+# row blocks each way (lax.ppermute over ICI), not the partitioner's full
+# all-gather — comms O(h*n) instead of O(n^2) per squaring, and the local
+# dot shrinks to [n_loc, n_loc + 2h] @ [n_loc + 2h, n]. Because full output
+# rows are computed, out-of-band entries stay EXACT zeros (every skipped
+# contraction term is a true 0.0 product), so in-band results are
+# bit-identical to the dense single-device squaring and the applications
+# may read T unmasked.
+
+
+def _dot(a, b, matmul_dtype):
+    if matmul_dtype is not None:
+        return jnp.dot(
+            a.astype(matmul_dtype), b.astype(matmul_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _halo_rows(t_loc: jax.Array, h: int, n_dev: int) -> jax.Array:
+    """[h + n_loc + h, n] context rows around this device's block: up to
+    ceil(h / n_loc) ppermute hops each way; rows beyond the matrix edge
+    come back as ppermute's zero fill — exactly the zeros a banded matrix
+    holds there."""
+    n_loc = t_loc.shape[0]
+    hops = -(-h // n_loc)
+    above, below = [], []
+    for k in range(1, hops + 1):
+        from_above = jax.lax.ppermute(
+            t_loc, MODEL_AXIS, [(i, i + k) for i in range(n_dev - k)]
+        )
+        from_below = jax.lax.ppermute(
+            t_loc, MODEL_AXIS, [(i, i - k) for i in range(k, n_dev)]
+        )
+        above.append(from_above)
+        below.append(from_below)
+    top = jnp.concatenate(above[::-1], axis=0)[-h:]
+    bot = jnp.concatenate(below, axis=0)[:h]
+    return jnp.concatenate([top, t_loc, bot], axis=0)
+
+
+def banded_power_in_jit(
+    t: jax.Array,
+    exp_times: int,
+    h: int,
+    mesh: Mesh,
+    matmul_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """T^(2^exp_times) for a banded T (halfwidth ``h``), block-row sharded;
+    returns the result STILL row-sharded (replicating a beyond-HBM matrix
+    would defeat the point — propagate with :func:`banded_apply_in_jit`).
+    Traceable inside an outer ``jit``."""
+    n = t.shape[0]
+    n_dev = mesh.shape[MODEL_AXIS]
+    assert n % n_dev == 0, (n, n_dev)
+    n_loc = n // n_dev
+
+    def body(t_loc):
+        idx = jax.lax.axis_index(MODEL_AXIS)
+        hh = h
+        for _ in range(exp_times):
+            ctx = _halo_rows(t_loc, hh, n_dev)
+            # this block's columns [r0 - hh, r0 + n_loc + hh), zero-padded
+            # at the matrix edges to stay aligned with ctx's rows
+            padded = jnp.pad(t_loc, ((0, 0), (hh, hh)))
+            cols = jax.lax.dynamic_slice(
+                padded, (jnp.int32(0), idx * n_loc),
+                (n_loc, n_loc + 2 * hh),
+            )
+            t_loc = _dot(cols, ctx, matmul_dtype)
+            hh *= 2
+        return t_loc
+
+    fn = jax.shard_map(
+        body, mesh=mesh, in_specs=P(MODEL_AXIS, None),
+        out_specs=P(MODEL_AXIS, None),
+    )
+    return fn(jax.lax.with_sharding_constraint(t, row_sharding(mesh)))
+
+
+def banded_apply_in_jit(
+    seeds: jax.Array,
+    t: jax.Array,
+    n_apply: int,
+    mesh: Mesh,
+    matmul_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """x @ T^n_apply with T row-sharded: each application contracts the
+    local seed columns against the local row block and psums the partials
+    over the model axis (comms per application: one [C, n] reduction).
+    Traceable inside an outer ``jit``; ``t`` must be row-sharded (as
+    :func:`banded_power_in_jit` returns)."""
+    n = t.shape[0]
+    n_dev = mesh.shape[MODEL_AXIS]
+    n_loc = n // n_dev
+    c = seeds.shape[0]
+
+    def body(x, t_loc):
+        idx = jax.lax.axis_index(MODEL_AXIS)
+        for _ in range(n_apply):
+            xl = jax.lax.dynamic_slice(x, (jnp.int32(0), idx * n_loc),
+                                       (c, n_loc))
+            x = jax.lax.psum(_dot(xl, t_loc, matmul_dtype), MODEL_AXIS)
+        return x
+
+    fn = jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P(MODEL_AXIS, None)),
+        out_specs=P(),
+    )
+    return fn(jax.lax.with_sharding_constraint(
+        seeds, NamedSharding(mesh, P())
+    ), t)
+
+
+def banded_matrix_power(
+    t: jax.Array,
+    exp_times: int,
+    h: int,
+    mesh: Mesh,
+    matmul_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """Standalone entry: device_put + jit around
+    :func:`banded_power_in_jit`."""
+    t = jax.device_put(t, row_sharding(mesh))
+    return jax.jit(
+        lambda x: banded_power_in_jit(x, exp_times, h, mesh, matmul_dtype)
+    )(t)
+
+
+def banded_propagate_rows(
+    seeds: jax.Array,
+    t: jax.Array,
+    n_apply: int,
+    mesh: Mesh,
+    matmul_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """Standalone entry: device_put + jit around
+    :func:`banded_apply_in_jit`."""
+    seeds = jax.device_put(seeds, NamedSharding(mesh, P()))
+    t = jax.device_put(t, row_sharding(mesh))
+    return jax.jit(
+        lambda x, tt: banded_apply_in_jit(x, tt, n_apply, mesh, matmul_dtype)
+    )(seeds, t)

@@ -337,6 +337,17 @@ class RandomWalkRunner:
             sqb = rw_mod.pick_square_times_banded(self.exp_times)
             if self._use_banded(geom, sqb):
                 return sqb, True
+            if (
+                self.mesh is not None
+                and self.banded_cfg
+                and rw_mod.banded_sharded_fits(
+                    geom, self.exp_times, sqb,
+                    self.mesh.shape.get("model", 1),
+                )
+            ):
+                # halo-exchange sharded path engages inside rw_mod.propagate
+                # (mesh_banded) at the banded split
+                return sqb, False
         sq = self._square_times(geom)
         return sq, self._use_banded(geom, sq)
 
@@ -362,7 +373,7 @@ class RandomWalkRunner:
                         geom, cam, edge, beta=self.beta,
                         exp_times=self.exp_times,
                         matmul_dtype=self.mm_dtype, mesh=mesh,
-                        square_times=sq,
+                        square_times=sq, mesh_banded=self.banded_cfg,
                     )
                 labels, rw_up, _ = rw_mod.upsample_and_decode(
                     rw, h4, w4, h0, w0, bg_thres

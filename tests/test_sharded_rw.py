@@ -31,3 +31,76 @@ def test_sharded_propagate_parity(rng):
     mesh = mesh_mod.make_mesh(n_data=1, n_model=8)
     got = np.asarray(sharded_propagate_rows(jnp.asarray(seeds), jnp.asarray(t), mesh))
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+
+
+def _banded(rng, n, h):
+    r = np.arange(n)
+    band = np.abs(r[:, None] - r[None, :]) <= h
+    t = np.zeros((n, n), np.float32)
+    t[band] = rng.random(band.sum(), dtype=np.float32) * 0.05
+    return t
+
+
+def test_banded_sharded_power_parity(rng):
+    from irn_tpu.parallel.rw_sharded import banded_matrix_power
+
+    mesh = mesh_mod.make_mesh(n_data=1, n_model=8)
+    n = 8 * 32
+    for h in (10, 40):  # single-hop and multi-hop (h > n_loc=32) halos
+        t = _banded(rng, n, h)
+        want = np.asarray(matrix_power_squarings(jnp.asarray(t), 2))
+        got = np.asarray(banded_matrix_power(jnp.asarray(t), 2, h, mesh))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+        # out-of-band entries stay exact zeros (the applications read T
+        # unmasked)
+        r = np.arange(n)
+        assert (got[np.abs(r[:, None] - r[None, :]) > 4 * h] == 0).all()
+
+
+def test_banded_sharded_propagate_parity(rng):
+    from irn_tpu.parallel.rw_sharded import (
+        banded_matrix_power,
+        banded_propagate_rows,
+    )
+
+    mesh = mesh_mod.make_mesh(n_data=1, n_model=8)
+    n, h = 8 * 32, 12
+    t = _banded(rng, n, h)
+    seeds = rng.standard_normal((4, n)).astype(np.float32)
+    want = seeds @ t @ t @ t @ t
+    got = np.asarray(
+        banded_propagate_rows(jnp.asarray(seeds), jnp.asarray(t), 4, mesh)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+    # hybrid: 1 banded-sharded squaring + 2 sharded applications == T^4... t2 = T^2
+    t2 = banded_matrix_power(jnp.asarray(t), 1, h, mesh)
+    got2 = np.asarray(
+        banded_propagate_rows(jnp.asarray(seeds), t2, 2, mesh)
+    )
+    np.testing.assert_allclose(got2, want, atol=1e-3, rtol=1e-3)
+
+
+def test_propagate_mesh_banded_matches_single_device(rng):
+    """rw_mod.propagate's halo-exchange mesh path (mesh_banded) against
+    the single-device computation at the same square_times."""
+    from irn_tpu.ops import random_walk as rw_mod
+
+    geom = rw_mod.build_geometry(32, 32, radius=2)
+    mesh = mesh_mod.make_mesh(n_data=1, n_model=8)
+    assert rw_mod.banded_sharded_fits(geom, 3, 1, 8)
+    h4 = w4 = 28
+    edge = np.ones((32, 32), np.float32)
+    edge[:h4, :w4] = rng.random((h4, w4)).astype(np.float32)
+    cam = np.zeros((3, 32, 32), np.float32)
+    cam[:, :h4, :w4] = rng.random((3, h4, w4))
+
+    want = np.asarray(
+        rw_mod.propagate(geom, cam, edge, beta=10, exp_times=3,
+                         square_times=1)
+    )
+    got = np.asarray(
+        rw_mod.propagate(geom, cam, edge, beta=10, exp_times=3,
+                         square_times=1, mesh=mesh)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
