@@ -228,6 +228,23 @@ def test_banded_fits_gates():
     assert not rw_mod.banded_fits(geom, 3, 2, bs=512)
 
 
+def test_pack_banded_matches_dynamic_slices(rng):
+    """The block-diagonal pack equals the literal per-column slice of the
+    zero-row-padded matrix (tile j = rows [j*bs - kh*bs, j*bs + (kh+1)*bs)
+    of column block j)."""
+    from irn_tpu.ops.matpow_pallas import pack_banded
+
+    n, bs, h = 1024, 128, 200
+    kh = -(-h // bs)
+    t = rng.random((n, n), dtype=np.float32)
+    got = np.asarray(pack_banded(jnp.asarray(t), h, bs))
+    tpad = np.pad(t, ((kh * bs, kh * bs), (0, 0)))
+    for j in range(n // bs):
+        want = tpad[j * bs : j * bs + (2 * kh + 1) * bs,
+                    j * bs : (j + 1) * bs]
+        np.testing.assert_array_equal(got[j], want, err_msg=str(j))
+
+
 def test_apply_chain_rect_tiles_ignore_out_of_band_garbage(rng):
     """Rectangular (bj > bs) apply tiles can straddle square_banded's
     written-band boundary; the operand-downcast band mask must keep the
