@@ -508,7 +508,7 @@ def _apply_chain_packed(x, t, h, n_apply, sdtype, bs, interpret):
     kh = -(-h // bs)
     pad = kh * bs
     span = (2 * kh + 1) * bs
-    tp = pack_banded(t, h, bs, sdtype)
+    tp = pack_banded(t, h, bs, sdtype, interpret=interpret)
     xo = jnp.pad(x.astype(sdtype), ((0, 0), (pad, pad)))
     out = pl.pallas_call(
         functools.partial(
@@ -540,8 +540,20 @@ def _apply_chain_packed(x, t, h, n_apply, sdtype, bs, interpret):
     return out[:, pad : pad + n]
 
 
+def _pack_kernel(t_ref, o_ref, *, kh, nb):
+    j = pl.program_id(0)
+    mr = pl.program_id(1)
+    src = j + mr - kh
+    valid = (src >= 0) & (src < nb)
+    o_ref[0] = jnp.where(valid, t_ref[:], 0.0).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "bs", "matmul_dtype", "interpret")
+)
 def pack_banded(
-    t: jax.Array, h: int, bs: int = 512, matmul_dtype=None
+    t: jax.Array, h: int, bs: int = 512, matmul_dtype=None,
+    interpret: bool = False,
 ) -> jax.Array:
     """[nb, (2kh+1)*bs, bs] band tiles: tile j holds T's rows
     [j*bs - kh*bs, j*bs + (kh+1)*bs) of column block j (zero rows beyond
@@ -550,31 +562,41 @@ def pack_banded(
     :func:`apply_banded_chain` — one DMA where the unpacked layout needed
     2kh+1 — and the packed buffer holds only the in-band fraction of T.
 
-    Built from block diagonals (``jnp.diagonal`` over the block grid):
-    tile row-offset m's sub-block for column j is T's (j+m, j) block, i.e.
-    the m-th block diagonal — touching only the in-band data once. (A
-    vmap'd dynamic_slice gather formulation measured 32 ms at n=14336 on
-    v5e — more than the whole application chain; this is ~1 ms.)"""
+    Implemented as a Pallas block-copy kernel (grid step (j, m) copies T's
+    (j+m-kh, j) block into tile j's m-th slot): pure streaming DMA over
+    the in-band data. Both XLA formulations tried (vmap'd dynamic_slice,
+    block diagonals) lower to a gather that measured 32 ms at n=14336 on
+    v5e — more than the whole application chain."""
     n = t.shape[0]
     kh = -(-h // bs)
     nb = n // bs
     if matmul_dtype is not None:
         t = t.astype(matmul_dtype)
-    t5 = t.reshape(nb, bs, nb, bs)
-    rows = []
-    for m in range(-kh, kh + 1):
-        # want d[j] = block (j + m, j): diagonal(offset=-m) for m >= 0
-        # gives a[k + m, k]; offset=-m<0 likewise via numpy's convention
-        d = jnp.diagonal(t5, offset=-m, axis1=0, axis2=2)  # [bs, bs, nd]
-        d = jnp.moveaxis(d, -1, 0)  # [nd, bs, bs]
-        pad = nb - d.shape[0]
-        if m > 0:  # rows beyond the bottom edge -> zero tiles at the end
-            d = jnp.pad(d, ((0, pad), (0, 0), (0, 0)))
-        elif m < 0:  # rows above the top edge -> zero tiles at the start
-            d = jnp.pad(d, ((pad, 0), (0, 0), (0, 0)))
-        rows.append(d)
-    # [nb, 2kh+1, bs, bs] -> [nb, span, bs]
-    return jnp.stack(rows, axis=1).reshape(nb, (2 * kh + 1) * bs, bs)
+    out = pl.pallas_call(
+        functools.partial(_pack_kernel, kh=kh, nb=nb),
+        grid=(nb, 2 * kh + 1),
+        in_specs=[
+            pl.BlockSpec(
+                (bs, bs),
+                lambda j, mr: (jnp.clip(j + mr - kh, 0, nb - 1), j),
+            )
+        ],
+        out_specs=pl.BlockSpec((1, bs, bs), lambda j, mr: (j, mr, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (nb, (2 * kh + 1) * bs, bs), t.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=2 * nb * (2 * kh + 1) * bs * bs
+            * t.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(t)
+    return out
 
 
 def _fused_kernel(a_ref, b_ref, invk_ref, invj_ref, o_ref, acc_ref, *,

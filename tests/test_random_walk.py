@@ -237,7 +237,7 @@ def test_pack_banded_matches_dynamic_slices(rng):
     n, bs, h = 1024, 128, 200
     kh = -(-h // bs)
     t = rng.random((n, n), dtype=np.float32)
-    got = np.asarray(pack_banded(jnp.asarray(t), h, bs))
+    got = np.asarray(pack_banded(jnp.asarray(t), h, bs, interpret=True))
     tpad = np.pad(t, ((kh * bs, kh * bs), (0, 0)))
     for j in range(n // bs):
         want = tpad[j * bs : j * bs + (2 * kh + 1) * bs,
