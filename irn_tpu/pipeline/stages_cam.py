@@ -85,11 +85,14 @@ def train_cam(cfg: Config) -> None:
         variables["stats"] = mutated["stats"]
         print("calibrated frozen-BN statistics from one batch")
 
-    # weight decay 0: the reference's PolyOptimizer never applies its
-    # weight_decay (it lands in torch SGD's momentum slot, torchutils.py:10)
+    # the reference's effective hypers: real weight decay (the per-group
+    # dicts override PolyOptimizer's swallowed constructor default,
+    # train_cam.py:57-59) + stray momentum = the same value (it lands in
+    # torch SGD's momentum slot, torchutils.py:10); float64 step parity in
+    # tests/test_train_step_parity.py
     tx = optim.poly_sgd(
         cfg.cam_learning_rate, max_step=max_step, power=0.9,
-        weight_decay=0.0,
+        weight_decay=cfg.cam_weight_decay, momentum=cfg.cam_weight_decay,
         mult_fn=optim.cam_lr_mult if cfg.cam_stop_grad else optim.cam_lr_mult_full,
     )
     state = create_train_state(variables, tx)

@@ -60,7 +60,8 @@ def train_irn(cfg: Config) -> None:
     grid = irn_train.build_train_geometry(cfg.irn_crop_size, cfg.path_radius)
     tx = optim.poly_sgd(
         cfg.irn_learning_rate, max_step=max_step, power=0.9,
-        weight_decay=0.0, mult_fn=optim.irn_lr_mult,
+        weight_decay=cfg.irn_weight_decay, momentum=cfg.irn_weight_decay,
+        mult_fn=optim.irn_lr_mult,
     )
     state = create_train_state(variables, tx)
 

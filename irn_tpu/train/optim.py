@@ -5,12 +5,17 @@ step/train_irn.py:33-36): SGD with LR ``base_lr * (1 - step/max_step)^0.9``,
 a 10x multiplier on the "new" parameter group (CAM classifier head; IRN
 displacement branch), and frozen parameters receiving no updates at all.
 
-Faithfulness note (document-and-diverge): the reference's PolyOptimizer
-passes its ``weight_decay`` argument into torch SGD's *momentum* positional
-slot (torchutils.py:10), so the reference effectively trains with momentum
-1e-4 and **zero weight decay**, and its ``momentum=0.9`` attribute is only
-the poly power. We reproduce the effective behavior by default
-(momentum=0, weight_decay=0, power=0.9) and expose the real knobs.
+Faithfulness note: the reference's PolyOptimizer passes its
+``weight_decay`` argument into torch SGD's *momentum* positional slot
+(torchutils.py:10), and its ``momentum=0.9`` attribute is only the poly
+power — BUT the per-group dicts the train steps construct
+(train_cam.py:57-59, train_irn.py:34-36) carry explicit ``weight_decay``
+keys that override the swallowed constructor default. Net effective
+hyper-parameters: **weight decay 1e-4 (real) + stray momentum 1e-4**,
+which the stages reproduce exactly (pinned to torch in float64 by
+tests/test_train_step_parity.py). Composition order matters and matches
+torch SGD: decay -> momentum -> per-group LR mult -> schedule, with the
+mult-0 freeze masks reproducing torch's skip of grad-less params.
 """
 
 from __future__ import annotations
@@ -28,7 +33,11 @@ def poly_schedule(base_lr: float, max_step: int, power: float = 0.9):
     def schedule(step):
         import jax.numpy as jnp
 
-        frac = jnp.minimum(step, max_step - 1) / max_step
+        # int32 / int yields float32 even under enable_x64 (optax's count
+        # is int32) — cast to the configured float width so float64 step
+        # parity against the reference holds to ~1e-15
+        ftype = jnp.result_type(float)
+        frac = jnp.minimum(step, max_step - 1).astype(ftype) / max_step
         return base_lr * (1.0 - frac) ** power
 
     return schedule
