@@ -149,3 +149,95 @@ def test_cam_train_step_parity(ref_cam, rng):
                 err_msg=jax.tree_util.keystr(path),
             )
     sys.path.remove(REFERENCE_ROOT)
+
+@requires_reference
+def test_irn_train_step_parity(ref_cam, rng):
+    """IRN step: decoder/GroupNorm/upsample gradients + masked losses +
+    PolyOptimizer semantics vs the torch reference, float64, 2 steps.
+    (``ref_cam`` fixture only patches the weight download; resnet50_irn
+    imports cleanly after it.)"""
+    sys.path.insert(0, REFERENCE_ROOT)
+    from misc import indexing, torchutils
+    from net import resnet50_irn
+
+    import jax
+
+    with jax.enable_x64(True):
+        import jax.numpy as jnp
+        import optax
+
+        from irn_tpu.models.irn import IRNet
+        from irn_tpu.ops import affinity as aff_mod
+        from irn_tpu.train import irn_train, optim
+        from irn_tpu.train.state import create_train_state
+        from irn_tpu.utils.weights import convert_irn_net
+
+        n_steps, max_step, lr = 2, 10, 0.1
+        h = w = 64  # stride-4 grid 16x16
+        imgs = rng.standard_normal((n_steps, 2, 3, h, w)).astype(np.float64)
+        reds = rng.choice(
+            np.array([0, 1, 2, 255], np.int64), size=(n_steps, 2, 16, 16),
+            p=[0.4, 0.25, 0.25, 0.1],
+        )
+        grid = irn_train.build_train_geometry(h, 5)
+        ps = grid.path_set
+        masks = [aff_mod.affinity_labels_2d(jnp.asarray(r), ps) for r in reds]
+
+        # --- reference (train_irn.py:14-83) ---
+        model = resnet50_irn.AffinityDisplacementLoss(
+            indexing.PathIndex(radius=5, default_size=(16, 16))
+        ).double()
+        model.train()
+        init_sd = {k: v.clone() for k, v in model.state_dict().items()}
+        pg = model.trainable_parameters()
+        opt = torchutils.PolyOptimizer(
+            [
+                {"params": pg[0], "lr": lr, "weight_decay": 1e-4},
+                {"params": pg[1], "lr": 10 * lr, "weight_decay": 1e-4},
+            ],
+            lr=lr, weight_decay=1e-4, max_step=max_step,
+        )
+        for s in range(n_steps):
+            pos_l, neg_l, fg_l, bg_l = model(torch.from_numpy(imgs[s]), True)
+            tb, tf, tn = (
+                torch.from_numpy(np.asarray(m)) for m in masks[s]
+            )
+            bg_pos = torch.sum(tb * pos_l) / (torch.sum(tb) + 1e-5)
+            fg_pos = torch.sum(tf * pos_l) / (torch.sum(tf) + 1e-5)
+            pos = bg_pos / 2 + fg_pos / 2
+            neg = torch.sum(tn * neg_l) / (torch.sum(tn) + 1e-5)
+            fg = torch.sum(fg_l * tf.unsqueeze(1)) / (2 * torch.sum(tf) + 1e-5)
+            bg = torch.sum(bg_l * tb.unsqueeze(1)) / (2 * torch.sum(tb) + 1e-5)
+            total = (pos + neg) / 2 + (fg + bg) / 2
+            opt.zero_grad()
+            total.backward()
+            opt.step()
+        want = convert_irn_net({k: v for k, v in model.state_dict().items()})
+
+        # --- ours: the production step construction ---
+        variables = jax.tree.map(
+            lambda x: np.asarray(x, np.float64), convert_irn_net(init_sd)
+        )
+        ours = IRNet(dtype=jnp.float64)
+        tx = optim.poly_sgd(
+            lr, max_step=max_step, power=0.9, weight_decay=1e-4,
+            momentum=1e-4, mult_fn=optim.irn_lr_mult,
+        )
+        state = create_train_state(variables, tx)
+        step = irn_train.make_train_step(ours, tx, grid)
+        for s in range(n_steps):
+            state, _ = step(
+                state, jnp.asarray(np.transpose(imgs[s], (0, 2, 3, 1))),
+                jnp.asarray(reds[s]),
+            )
+
+        flat_w = jax.tree_util.tree_flatten_with_path(want["params"])[0]
+        flat_g = dict(jax.tree_util.tree_flatten_with_path(state.params)[0])
+        assert flat_w and len(flat_w) == len(flat_g)
+        for path, wv in flat_w:
+            g = np.asarray(flat_g[path], np.float64)
+            np.testing.assert_allclose(
+                g, np.asarray(wv, np.float64), atol=5e-8, rtol=1e-5,
+                err_msg=jax.tree_util.keystr(path),
+            )
+    sys.path.remove(REFERENCE_ROOT)
