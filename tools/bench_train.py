@@ -86,8 +86,8 @@ def main():
         model.init(jax.random.PRNGKey(0),
                    np.zeros((1, 512, 512, 3), np.float32), train=True),
     )
-    tx = optim.poly_sgd(0.1, max_step=3305, power=0.9,
-                        mult_fn=optim.cam_lr_mult)
+    tx = optim.poly_sgd(0.1, max_step=3305, power=0.9, weight_decay=1e-4,
+                        momentum=1e-4, mult_fn=optim.cam_lr_mult)
     state = create_train_state(variables, tx)
     step = cam_train.make_train_step(model, tx)
     batches = device_batches(
@@ -108,8 +108,8 @@ def main():
                    np.zeros((1, 512, 512, 3), np.float32)),
     )
     grid = irn_train.build_train_geometry(512, 10)
-    tx = optim.poly_sgd(0.1, max_step=990, power=0.9,
-                        mult_fn=optim.irn_lr_mult)
+    tx = optim.poly_sgd(0.1, max_step=990, power=0.9, weight_decay=1e-4,
+                        momentum=1e-4, mult_fn=optim.irn_lr_mult)
     state = create_train_state(variables, tx)
     step = irn_train.make_train_step(model, tx, grid)
     batches = device_batches(
