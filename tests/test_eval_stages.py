@@ -76,3 +76,34 @@ def test_eval_sem_seg_stage_perfect_predictions(voc_tree):
     # classes present (0, 7, 12); ignore rim excluded
     for k in (0, 7, 12):
         assert scores["iou"][k] == pytest.approx(1.0)
+
+
+def test_eval_cam_stage_perfect_seeds(voc_tree, tmp_path):
+    """eval_cam over high_res maps that decode exactly to the gt at the
+    default threshold -> IoU 1.0 for present classes; the sweep reports a
+    mIoU per grid threshold."""
+    import dataclasses
+
+    from irn_tpu.pipeline import stages_cam
+
+    cam_dir = tmp_path / "cam"
+    cam_dir.mkdir()
+    names = ["2007_000001", "2007_000002"]
+    for name in names:
+        gt = np.asarray(
+            imageio.imread(
+                os.path.join(voc_tree.voc12_root, "SegmentationClass",
+                             name + ".png")
+            )
+        )
+        keys = np.array([6, 11])  # 0-based classes for gt labels 7, 12
+        high = np.zeros((2,) + gt.shape, np.float32)
+        high[0][gt == 7] = 0.9
+        high[1][gt == 12] = 0.9
+        np.save(str(cam_dir / f"{name}.npy"),
+                {"keys": keys, "cam": None, "high_res": high})
+    cfg = dataclasses.replace(voc_tree, cam_out_dir=str(cam_dir))
+    scores = stages_cam.eval_cam(cfg, sweep=True)
+    for k in (0, 7, 12):
+        assert scores["iou"][k] == pytest.approx(1.0)
+    assert scores["sweep"][0.45] == pytest.approx(scores["miou"])
