@@ -161,6 +161,14 @@ def dense_affinity(geom: RandomWalkGeometry, edge_capped: jax.Array) -> jax.Arra
     return a.reshape(-1)[: n * n].reshape(n, n)
 
 
+def normalize_transition(affinity: jax.Array, beta: int = 10) -> jax.Array:
+    """A^beta, column-normalized (misc/indexing.py:132-137) — the one
+    construction shared by the dense, Pallas-banded, and mesh-sharded
+    paths."""
+    scaled = affinity**beta
+    return scaled / jnp.sum(scaled, axis=0, keepdims=True)
+
+
 def transition_matrix(
     affinity: jax.Array,
     beta: int = 10,
@@ -185,8 +193,7 @@ def transition_matrix(
 
         t = square_fused_first(affinity, beta=beta, matmul_dtype=matmul_dtype)
         return matrix_power_squarings(t, exp_times - 1, matmul_dtype)
-    scaled = affinity**beta
-    t = scaled / jnp.sum(scaled, axis=0, keepdims=True)
+    t = normalize_transition(affinity, beta)
     return matrix_power_squarings(
         t, exp_times, matmul_dtype=matmul_dtype, sharding=sharding
     )
@@ -345,8 +352,7 @@ def build_transition_banded(
     from irn_tpu.ops.matpow_pallas import square_banded
 
     h = band_halfwidth(geom)
-    scaled = dense_affinity(geom, edge_capped) ** beta
-    t = scaled / jnp.sum(scaled, axis=0, keepdims=True)
+    t = normalize_transition(dense_affinity(geom, edge_capped), beta)
     for _ in range(square_times):
         t = square_banded(t, h, matmul_dtype=matmul_dtype, bs=bs,
                           interpret=interpret)
@@ -449,6 +455,53 @@ def pick_square_times(
     )
 
 
+def build_transition_mesh_banded(
+    geom: RandomWalkGeometry,
+    edge_capped: jax.Array,
+    beta: int,
+    square_times: int,
+    mesh,
+    matmul_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """T^(2^square_times) block-row sharded via halo-exchange banded
+    squarings; the result STAYS row-sharded (propagate with
+    :func:`apply_transition_mesh_banded`). Callers must check
+    :func:`banded_sharded_fits` first.
+
+    Scope note: the squarings and applications never replicate T, but the
+    affinity ASSEMBLY (:func:`dense_affinity`) still materializes the full
+    matrix before the row-sharding constraint — grids whose raw affinity
+    exceeds one device's HBM additionally need a sharded assembly
+    (ROADMAP). The elementwise A^beta/column-normalize passes run
+    distributed under the constraint."""
+    from irn_tpu.parallel import rw_sharded
+
+    a = dense_affinity(geom, edge_capped)
+    a = jax.lax.with_sharding_constraint(a, rw_sharded.row_sharding(mesh))
+    t = normalize_transition(a, beta)
+    return rw_sharded.banded_power_in_jit(
+        t, square_times, band_halfwidth(geom), mesh, matmul_dtype
+    )
+
+
+def apply_transition_mesh_banded(
+    geom: RandomWalkGeometry,
+    cam_capped: jax.Array,
+    edge_capped: jax.Array,
+    t: jax.Array,
+    n_apply: int,
+    mesh,
+    matmul_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """Seed propagation through a row-sharded T (psum-reduced partial
+    contractions per application)."""
+    from irn_tpu.parallel import rw_sharded
+
+    seeds = _flat_seeds(geom, cam_capped, edge_capped)
+    rw = rw_sharded.banded_apply_in_jit(seeds, t, n_apply, mesh, matmul_dtype)
+    return _unflatten_rw(geom, rw)
+
+
 def propagate(
     geom: RandomWalkGeometry,
     cam_capped: jax.Array,
@@ -490,18 +543,13 @@ def propagate(
         and n_model > 1
         and banded_sharded_fits(geom, exp_times, e, n_model)
     ):
-        from irn_tpu.parallel import rw_sharded
-
-        scaled = dense_affinity(geom, edge_capped) ** beta
-        t = scaled / jnp.sum(scaled, axis=0, keepdims=True)
-        t = rw_sharded.banded_power_in_jit(
-            t, e, band_halfwidth(geom), mesh, matmul_dtype
+        t = build_transition_mesh_banded(
+            geom, edge_capped, beta, e, mesh, matmul_dtype
         )
-        seeds = _flat_seeds(geom, cam_capped, edge_capped)
-        rw = rw_sharded.banded_apply_in_jit(
-            seeds, t, 1 << (exp_times - e), mesh, matmul_dtype
+        return apply_transition_mesh_banded(
+            geom, cam_capped, edge_capped, t, 1 << (exp_times - e), mesh,
+            matmul_dtype,
         )
-        return _unflatten_rw(geom, rw)
     t = build_transition(geom, edge_capped, beta, e, matmul_dtype, mesh)
     return propagate_with_transition(
         geom, cam_capped, edge_capped, t, matmul_dtype,

@@ -94,23 +94,31 @@ def _dot(a, b, matmul_dtype):
 
 def _halo_rows(t_loc: jax.Array, h: int, n_dev: int) -> jax.Array:
     """[h + n_loc + h, n] context rows around this device's block: up to
-    ceil(h / n_loc) ppermute hops each way; rows beyond the matrix edge
-    come back as ppermute's zero fill — exactly the zeros a banded matrix
-    holds there."""
+    ceil(h / n_loc) ppermute hops each way, each shipping ONLY the rows
+    the band needs (hop k contributes min(n_loc, h - (k-1)*n_loc) rows, so
+    total ICI traffic is exactly h rows per direction — O(h*n) bytes, not
+    hops full blocks). Rows beyond the matrix edge come back as ppermute's
+    zero fill — exactly the zeros a banded matrix holds there."""
     n_loc = t_loc.shape[0]
     hops = -(-h // n_loc)
     above, below = [], []
     for k in range(1, hops + 1):
+        rk = min(n_loc, h - (k - 1) * n_loc)
+        # top halo takes block d-k's BOTTOM rk rows; bottom halo takes
+        # block d+k's TOP rk rows (every sender slices the same region —
+        # SPMD-uniform shapes)
         from_above = jax.lax.ppermute(
-            t_loc, MODEL_AXIS, [(i, i + k) for i in range(n_dev - k)]
+            t_loc[n_loc - rk :, :], MODEL_AXIS,
+            [(i, i + k) for i in range(n_dev - k)],
         )
         from_below = jax.lax.ppermute(
-            t_loc, MODEL_AXIS, [(i, i - k) for i in range(k, n_dev)]
+            t_loc[:rk, :], MODEL_AXIS,
+            [(i, i - k) for i in range(k, n_dev)],
         )
         above.append(from_above)
         below.append(from_below)
-    top = jnp.concatenate(above[::-1], axis=0)[-h:]
-    bot = jnp.concatenate(below, axis=0)[:h]
+    top = jnp.concatenate(above[::-1], axis=0)  # farthest hop first
+    bot = jnp.concatenate(below, axis=0)
     return jnp.concatenate([top, t_loc, bot], axis=0)
 
 
@@ -134,15 +142,21 @@ def banded_power_in_jit(
         idx = jax.lax.axis_index(MODEL_AXIS)
         hh = h
         for _ in range(exp_times):
-            ctx = _halo_rows(t_loc, hh, n_dev)
+            # cast once per squaring BEFORE the halo exchange: ICI ships
+            # matmul-width operands (half the bytes for bf16)
+            tb = (
+                t_loc.astype(matmul_dtype)
+                if matmul_dtype is not None else t_loc
+            )
+            ctx = _halo_rows(tb, hh, n_dev)
             # this block's columns [r0 - hh, r0 + n_loc + hh), zero-padded
             # at the matrix edges to stay aligned with ctx's rows
-            padded = jnp.pad(t_loc, ((0, 0), (hh, hh)))
+            padded = jnp.pad(tb, ((0, 0), (hh, hh)))
             cols = jax.lax.dynamic_slice(
                 padded, (jnp.int32(0), idx * n_loc),
                 (n_loc, n_loc + 2 * hh),
             )
-            t_loc = _dot(cols, ctx, matmul_dtype)
+            t_loc = _dot(cols, ctx, None)
             hh *= 2
         return t_loc
 
@@ -172,10 +186,16 @@ def banded_apply_in_jit(
 
     def body(x, t_loc):
         idx = jax.lax.axis_index(MODEL_AXIS)
+        tb = (
+            t_loc.astype(matmul_dtype)
+            if matmul_dtype is not None else t_loc
+        )  # cast the reused block once, not per application
         for _ in range(n_apply):
             xl = jax.lax.dynamic_slice(x, (jnp.int32(0), idx * n_loc),
                                        (c, n_loc))
-            x = jax.lax.psum(_dot(xl, t_loc, matmul_dtype), MODEL_AXIS)
+            if matmul_dtype is not None:
+                xl = xl.astype(matmul_dtype)
+            x = jax.lax.psum(_dot(xl, tb, None), MODEL_AXIS)
         return x
 
     fn = jax.shard_map(

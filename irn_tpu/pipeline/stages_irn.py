@@ -325,6 +325,17 @@ class RandomWalkRunner:
             and rw_mod.banded_fits(geom, self.exp_times, sq)
         )
 
+    def _mesh_banded(self, geom, sq: int) -> bool:
+        """Halo-exchange sharded path (rw_sharded): mesh mode with the
+        band under the gate."""
+        return (
+            self.mesh is not None
+            and self.banded_cfg
+            and rw_mod.banded_sharded_fits(
+                geom, self.exp_times, sq, self.mesh.shape.get("model", 1)
+            )
+        )
+
     def _resolve(self, geom):
         """(square_times, banded) for this geometry. Banded engages at the
         banded-measured split (pick_square_times_banded — the dense
@@ -338,16 +349,10 @@ class RandomWalkRunner:
             sqb = rw_mod.pick_square_times_banded(self.exp_times)
             if self._use_banded(geom, sqb):
                 return sqb, True
-            if (
-                self.mesh is not None
-                and self.banded_cfg
-                and rw_mod.banded_sharded_fits(
-                    geom, self.exp_times, sqb,
-                    self.mesh.shape.get("model", 1),
-                )
-            ):
-                # halo-exchange sharded path engages inside rw_mod.propagate
-                # (mesh_banded) at the banded split
+            if self._mesh_banded(geom, sqb):
+                # halo-exchange sharded path engages (propagate's
+                # mesh_banded branch / the chunk programs' mesh_banded
+                # branch) at the banded split
                 return sqb, False
         sq = self._square_times(geom)
         return sq, self._use_banded(geom, sq)
@@ -401,6 +406,7 @@ class RandomWalkRunner:
             sq, banded = self._resolve(geom)
             n_apply = 1 << (self.exp_times - sq)
             band = rw_mod.band_halfwidth(geom) << sq
+            mesh_banded = (not banded) and self._mesh_banded(geom, sq)
 
             @jax.jit
             def build_t(edge: jax.Array):
@@ -410,6 +416,12 @@ class RandomWalkRunner:
                         matmul_dtype=self.mm_dtype,
                     )
                     return t
+                if mesh_banded:
+                    # halo-exchange sharded build; T stays row-sharded
+                    # across every chunk (it is seed-independent)
+                    return rw_mod.build_transition_mesh_banded(
+                        geom, edge, self.beta, sq, mesh, self.mm_dtype
+                    )
                 return rw_mod.build_transition(
                     geom, edge, beta=self.beta, exp_times=sq,
                     matmul_dtype=self.mm_dtype, mesh=mesh,
@@ -421,6 +433,10 @@ class RandomWalkRunner:
                     rw = rw_mod.apply_transition_banded(
                         geom, cam, edge, t, band, n_apply,
                         matmul_dtype=self.mm_dtype,
+                    )
+                elif mesh_banded:
+                    rw = rw_mod.apply_transition_mesh_banded(
+                        geom, cam, edge, t, n_apply, mesh, self.mm_dtype
                     )
                 else:
                     rw = rw_mod.propagate_with_transition(
