@@ -112,6 +112,39 @@ def dense_affinity(geom: RandomWalkGeometry, edge_capped: jax.Array) -> jax.Arra
     Returns:
       [n_pad, n_pad] dense affinity with identity diagonal.
     """
+    vs, doffs = band_values(geom, edge_capped)
+    n = geom.n_pad
+    strip = _round_up(max(doffs) + 1, 128)
+    assert 2 * strip < n + 1, (strip, n)
+    left = jnp.zeros((n, strip), jnp.float32)
+    right = jnp.zeros((n, strip), jnp.float32)
+    left = left.at[:, 0].set(1.0)  # column 0 == the identity diagonal
+
+    for k, doff in enumerate(doffs):
+        left = left.at[:, doff].set(vs[k])
+        # Lower band A[j, j-doff] = aff(j-doff) sits at view position
+        # (row j-1, column n+1-doff): the column is v shifted down by
+        # doff-1 rows. n+1-doff maps to local strip index strip-doff.
+        right = right.at[:, strip - doff].set(
+            jnp.pad(vs[k], (doff - 1, 0))[:n]
+        )
+
+    a = jnp.concatenate(
+        [left, jnp.zeros((n, n + 1 - 2 * strip), jnp.float32), right], axis=1
+    )
+    return a.reshape(-1)[: n * n].reshape(n, n)
+
+
+def band_values(
+    geom: RandomWalkGeometry, edge_capped: jax.Array
+) -> Tuple[jax.Array, Tuple[int, ...]]:
+    """Per-direction diagonal band values of the affinity matrix.
+
+    Returns (vs [n_pairs, n_pad], doffs): A[i, i + doffs[k]] = vs[k, i]
+    and symmetrically A[j, j - doffs[k]] = vs[k, j - doffs[k]], plus the
+    implicit unit diagonal. This [n_pairs, n] table (a few MB) is the
+    ENTIRE content of the banded matrix — both the dense assembly and the
+    mesh-sharded per-device assembly build from it."""
     r = geom.radius
     ph, pw = geom.padded
     n = geom.n_pad
@@ -127,38 +160,15 @@ def dense_affinity(geom: RandomWalkGeometry, edge_capped: jax.Array) -> jax.Arra
     aff = path_affinity(edge_padded, ps)  # [n_pairs, ch*cw]
     aff = aff.reshape(ps.n_pairs, ch, cw)
 
-    # All band offsets fit in a narrow strip: upper bands (A[i, i+d] =
-    # aff(i)) live in columns d of the (n, n+1) view; lower bands
-    # (A[i, i-d] = aff(i-d)) live in columns n+1-d with values shifted down
-    # one row. Assemble two narrow buffers and pad the middle with zeros in
-    # one shot — no transpose, no updates on the full 1.4 GB buffer.
-    max_doff = int(ps.dst_offsets[:, 0].max()) * pw + int(
-        ps.dst_offsets[:, 1].max()
-    )
-    strip = _round_up(max_doff + 1, 128)
-    assert 2 * strip < n + 1, (strip, n)
-    left = jnp.zeros((n, strip), jnp.float32)
-    right = jnp.zeros((n, strip), jnp.float32)
-    left = left.at[:, 0].set(1.0)  # column 0 == the identity diagonal
-
+    vs = []
+    doffs = []
     for k in range(ps.n_pairs):
         dy, dx = int(ps.dst_offsets[k, 0]), int(ps.dst_offsets[k, 1])
-        doff = dy * pw + dx
+        doffs.append(dy * pw + dx)
         v = jnp.zeros((ph, pw), jnp.float32)
         v = v.at[:ch, rf : rf + cw].set(aff[k])
-        v = jnp.pad(v.reshape(-1), (0, n - ph * pw))
-        left = left.at[:, doff].set(v)
-        # Lower band A[j, j-doff] = aff(j-doff) sits at view position
-        # (row j-1, column n+1-doff): the column is v shifted down by
-        # doff-1 rows. n+1-doff maps to local strip index strip-doff.
-        right = right.at[:, strip - doff].set(
-            jnp.pad(v, (doff - 1, 0))[:n]
-        )
-
-    a = jnp.concatenate(
-        [left, jnp.zeros((n, n + 1 - 2 * strip), jnp.float32), right], axis=1
-    )
-    return a.reshape(-1)[: n * n].reshape(n, n)
+        vs.append(jnp.pad(v.reshape(-1), (0, n - ph * pw)))
+    return jnp.stack(vs), tuple(doffs)
 
 
 def normalize_transition(affinity: jax.Array, beta: int = 10) -> jax.Array:
@@ -463,22 +473,18 @@ def build_transition_mesh_banded(
     mesh,
     matmul_dtype: Optional[jnp.dtype] = None,
 ) -> jax.Array:
-    """T^(2^square_times) block-row sharded via halo-exchange banded
-    squarings; the result STAYS row-sharded (propagate with
+    """T^(2^square_times) block-row sharded end-to-end: each device
+    assembles its OWN row block from the tiny [n_pairs, n] band-value
+    table (the full matrix never exists on any single device), column
+    sums psum for the normalization, and squarings exchange only band
+    halos. The result STAYS row-sharded (propagate with
     :func:`apply_transition_mesh_banded`). Callers must check
-    :func:`banded_sharded_fits` first.
-
-    Scope note: the squarings and applications never replicate T, but the
-    affinity ASSEMBLY (:func:`dense_affinity`) still materializes the full
-    matrix before the row-sharding constraint — grids whose raw affinity
-    exceeds one device's HBM additionally need a sharded assembly
-    (ROADMAP). The elementwise A^beta/column-normalize passes run
-    distributed under the constraint."""
+    :func:`banded_sharded_fits` first."""
     from irn_tpu.parallel import rw_sharded
 
-    a = dense_affinity(geom, edge_capped)
-    a = jax.lax.with_sharding_constraint(a, rw_sharded.row_sharding(mesh))
-    t = normalize_transition(a, beta)
+    vs, doffs = band_values(geom, edge_capped)
+    a = rw_sharded.assemble_rows_in_jit(vs, doffs, geom.n_pad, mesh)
+    t = rw_sharded.normalize_rows_in_jit(a, beta, mesh)
     return rw_sharded.banded_power_in_jit(
         t, square_times, band_halfwidth(geom), mesh, matmul_dtype
     )

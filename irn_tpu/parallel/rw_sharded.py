@@ -122,6 +122,73 @@ def _halo_rows(t_loc: jax.Array, h: int, n_dev: int) -> jax.Array:
     return jnp.concatenate([top, t_loc, bot], axis=0)
 
 
+def assemble_rows_in_jit(
+    vs: jax.Array, doffs, n: int, mesh: Mesh
+) -> jax.Array:
+    """Row-sharded dense affinity assembled per device from the tiny
+    [n_pairs, n] band-value table — the full matrix is NEVER materialized
+    on any single device.
+
+    Uses the same (n, n+1)-flat trick as the replicated
+    :func:`irn_tpu.ops.random_walk.dense_affinity`: in a row-major
+    (n, n+1) buffer H, upper band d lives at H[i, d] and lower band d at
+    H[i-1, n+1-d], and A.flat == H.flat[:n*n]. Device d's A rows
+    [r0*n, r1*n) start exactly r0 < n+1 elements before its own H rows'
+    flat span — so ONE ppermute of the previous device's last H row
+    closes the misalignment. Traceable inside an outer jit; call inside
+    the same shard_map-using program as the squarings."""
+    n_dev = mesh.shape[MODEL_AXIS]
+    assert n % n_dev == 0, (n, n_dev)
+    n_loc = n // n_dev
+
+    def body(vs_loc):
+        idx = jax.lax.axis_index(MODEL_AXIS)
+        r0 = idx * n_loc
+        h_loc = jnp.zeros((n_loc, n + 1), jnp.float32)
+        h_loc = h_loc.at[:, 0].set(1.0)  # unit diagonal
+        for k, doff in enumerate(doffs):
+            vk = vs_loc[k]
+            up = jax.lax.dynamic_slice(vk, (r0,), (n_loc,))
+            h_loc = h_loc.at[:, doff].set(up)
+            low = jax.lax.dynamic_slice(
+                jnp.pad(vk, (doff - 1, 0))[:n], (r0,), (n_loc,)
+            )
+            h_loc = h_loc.at[:, n + 1 - doff].set(low)
+        prev_last = jax.lax.ppermute(
+            h_loc[-1:], MODEL_AXIS, [(i, i + 1) for i in range(n_dev - 1)]
+        )
+        f_ext = jnp.concatenate([prev_last.reshape(-1), h_loc.reshape(-1)])
+        a_flat = jax.lax.dynamic_slice(
+            f_ext, ((n + 1 - r0).astype(jnp.int32),), (n_loc * n,)
+        )
+        return a_flat.reshape(n_loc, n)
+
+    fn = jax.shard_map(
+        body, mesh=mesh, in_specs=P(), out_specs=P(MODEL_AXIS, None)
+    )
+    return fn(jax.lax.with_sharding_constraint(
+        vs, NamedSharding(mesh, P())
+    ))
+
+
+def normalize_rows_in_jit(
+    a: jax.Array, beta: int, mesh: Mesh
+) -> jax.Array:
+    """A^beta column-normalized with A row-sharded (column sums psum over
+    the model axis); result stays row-sharded."""
+
+    def body(a_loc):
+        scaled = a_loc**beta
+        col = jax.lax.psum(jnp.sum(scaled, axis=0), MODEL_AXIS)
+        return scaled / col[None, :]
+
+    fn = jax.shard_map(
+        body, mesh=mesh, in_specs=P(MODEL_AXIS, None),
+        out_specs=P(MODEL_AXIS, None),
+    )
+    return fn(a)
+
+
 def banded_power_in_jit(
     t: jax.Array,
     exp_times: int,

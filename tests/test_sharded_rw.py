@@ -81,6 +81,35 @@ def test_banded_sharded_propagate_parity(rng):
     np.testing.assert_allclose(got2, want, atol=1e-3, rtol=1e-3)
 
 
+def test_sharded_assembly_matches_dense_affinity(rng):
+    """Per-device row-block assembly from the band-value table ==
+    the replicated dense_affinity (and the normalized transition too)."""
+    import jax
+    import jax.numpy as jnp2
+
+    from irn_tpu.ops import random_walk as rw_mod
+    from irn_tpu.parallel import rw_sharded
+
+    geom = rw_mod.build_geometry(24, 24, radius=2)
+    mesh = mesh_mod.make_mesh(n_data=1, n_model=8)
+    assert geom.n_pad % 8 == 0
+    edge = rng.random((24, 24)).astype(np.float32)
+
+    want = np.asarray(rw_mod.dense_affinity(geom, jnp2.asarray(edge)))
+
+    @jax.jit
+    def sharded(e):
+        vs, doffs = rw_mod.band_values(geom, e)
+        a = rw_sharded.assemble_rows_in_jit(vs, doffs, geom.n_pad, mesh)
+        return a, rw_sharded.normalize_rows_in_jit(a, 10, mesh)
+
+    got_a, got_t = sharded(jnp2.asarray(edge))
+    np.testing.assert_array_equal(np.asarray(got_a), want)
+    want_t = np.asarray(rw_mod.normalize_transition(jnp2.asarray(want), 10))
+    np.testing.assert_allclose(np.asarray(got_t), want_t, atol=1e-6,
+                               rtol=1e-6)
+
+
 def test_chunked_walker_mesh_banded_matches_single_device(rng):
     """propagate_all (uncapped seeds, chunked) through the halo-sharded
     mesh path vs the single-device walker at the same split."""
