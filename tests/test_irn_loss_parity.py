@@ -46,6 +46,7 @@ def ref_loss_head():
     from misc import indexing
     from net import resnet50_irn
 
+    torch.manual_seed(1234)  # decoder inits come from the global rng
     head = resnet50_irn.AffinityDisplacementLoss(
         indexing.PathIndex(radius=5, default_size=(20, 24))
     )

@@ -37,6 +37,9 @@ def ref_modules():
     ref_resnet50.model_zoo.load_url = fake_load_url
     from net import resnet50_cam, resnet50_irn
 
+    # module construction draws head/decoder inits from torch's GLOBAL
+    # rng; pin it so weights are order-independent across the suite
+    torch.manual_seed(1234)
     yield resnet50_cam, resnet50_irn
     sys.path.remove(REFERENCE_ROOT)
 

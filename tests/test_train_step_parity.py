@@ -70,6 +70,7 @@ def test_cam_train_step_parity(ref_cam, rng):
         labels = (rng.random((n_steps, 2, 20)) < 0.2).astype(np.float64)
 
         # --- reference: 3 PolyOptimizer steps (train_cam.py:57-85) ---
+        torch.manual_seed(1234)  # head init comes from the global rng
         model = ref_cam.Net().double()
         model.train()
         init_sd = {k: v.clone() for k, v in model.state_dict().items()}
@@ -184,6 +185,7 @@ def test_irn_train_step_parity(ref_cam, rng):
         masks = [aff_mod.affinity_labels_2d(jnp.asarray(r), ps) for r in reds]
 
         # --- reference (train_irn.py:14-83) ---
+        torch.manual_seed(1234)  # decoder inits come from the global rng
         model = resnet50_irn.AffinityDisplacementLoss(
             indexing.PathIndex(radius=5, default_size=(16, 16))
         ).double()
