@@ -34,19 +34,20 @@ def sharded_matrix_power(
     mesh: Mesh,
     matmul_dtype: Optional[jnp.dtype] = None,
 ) -> jax.Array:
-    """T^(2^e) with T block-row sharded over the model axis."""
+    """T^(2^e) with T block-row sharded over the model axis (dense
+    collective-matmul fallback; the banded halo-exchange path below is
+    the production mesh route)."""
     s = row_sharding(mesh)
     t = jax.device_put(t, s)
 
     @functools.partial(jax.jit, out_shardings=s)
     def power(t):
-        def body(_, x):
-            if matmul_dtype is not None:
-                xb = x.astype(matmul_dtype)
-                return jnp.dot(xb, xb, preferred_element_type=jnp.float32)
-            return jnp.dot(x, x, precision=jax.lax.Precision.HIGHEST)
-
-        return jax.lax.fori_loop(0, exp_times, body, t)
+        # unrolled on purpose, like ops/matpow.matrix_power_squarings: a
+        # fori_loop body compiles slower AND runs slower on TPU (the
+        # loop-carried buffer pins XLA to one layout/alias pattern)
+        for _ in range(exp_times):
+            t = jax.lax.with_sharding_constraint(_dot(t, t, matmul_dtype), s)
+        return t
 
     return power(t)
 
