@@ -90,24 +90,31 @@ def test_sharded_assembly_matches_dense_affinity(rng):
     from irn_tpu.ops import random_walk as rw_mod
     from irn_tpu.parallel import rw_sharded
 
-    geom = rw_mod.build_geometry(24, 24, radius=2)
     mesh = mesh_mod.make_mesh(n_data=1, n_model=8)
-    assert geom.n_pad % 8 == 0
-    edge = rng.random((24, 24)).astype(np.float32)
+    # radius 2: band well inside a device block; radius 5: max doff (138)
+    # EXCEEDS n_loc (128), exercising band columns that land in the
+    # ppermuted halo row of the flat-misalignment trick
+    for radius in (2, 5):
+        geom = rw_mod.build_geometry(24, 24, radius=radius)
+        assert geom.n_pad % 8 == 0
+        edge = rng.random((24, 24)).astype(np.float32)
 
-    want = np.asarray(rw_mod.dense_affinity(geom, jnp2.asarray(edge)))
+        want = np.asarray(rw_mod.dense_affinity(geom, jnp2.asarray(edge)))
 
-    @jax.jit
-    def sharded(e):
-        vs, doffs = rw_mod.band_values(geom, e)
-        a = rw_sharded.assemble_rows_in_jit(vs, doffs, geom.n_pad, mesh)
-        return a, rw_sharded.normalize_rows_in_jit(a, 10, mesh)
+        @jax.jit
+        def sharded(e, geom=geom):
+            vs, doffs = rw_mod.band_values(geom, e)
+            a = rw_sharded.assemble_rows_in_jit(vs, doffs, geom.n_pad, mesh)
+            return a, rw_sharded.normalize_rows_in_jit(a, 10, mesh)
 
-    got_a, got_t = sharded(jnp2.asarray(edge))
-    np.testing.assert_array_equal(np.asarray(got_a), want)
-    want_t = np.asarray(rw_mod.normalize_transition(jnp2.asarray(want), 10))
-    np.testing.assert_allclose(np.asarray(got_t), want_t, atol=1e-6,
-                               rtol=1e-6)
+        got_a, got_t = sharded(jnp2.asarray(edge))
+        np.testing.assert_array_equal(np.asarray(got_a), want,
+                                      err_msg=f"radius={radius}")
+        want_t = np.asarray(
+            rw_mod.normalize_transition(jnp2.asarray(want), 10)
+        )
+        np.testing.assert_allclose(np.asarray(got_t), want_t, atol=1e-6,
+                                   rtol=1e-6)
 
 
 def test_chunked_walker_mesh_banded_matches_single_device(rng):
