@@ -408,19 +408,17 @@ def apply_banded_chain(
         return _apply_chain_packed(
             x, t, h, n_apply, sdtype, bs, interpret
         )
-    if bjk > 1 or bjk + 2 * kh >= nkb:
-        # T^(2^e)'s true band halfwidth is exactly h (banded-matrix
-        # products add halfwidths); everything beyond is square_banded's
-        # unspecified fill. Square bs-tiles provably never read it (the
-        # in-band k range [j-kh, j+kh] sits inside the final squaring's
-        # written j-band, jb = ceil(2*h_prev/bs) = kh), but wider j-tiles
-        # and the dense fallback can straddle the boundary — zero it,
-        # fused into the downcast pass (~1.5 ms at n=14336).
-        rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        to = jnp.where(jnp.abs(rows - cols) <= h, t, 0.0).astype(sdtype)
-    else:
-        to = t.astype(sdtype)
+    # Every case reaching here (bjk > 1, or the dense fallback below) can
+    # straddle the band/garbage boundary: T^(2^e)'s true band halfwidth is
+    # exactly h (banded-matrix products add halfwidths); everything beyond
+    # is square_banded's unspecified fill — zero it, fused into the
+    # downcast pass (~1.5 ms at n=14336). (bjk == 1 with the band fitting
+    # already returned via _apply_chain_packed above, so there is no
+    # safe-to-skip-masking case left.)
+    assert bjk > 1 or bjk + 2 * kh >= nkb, (bjk, kh, nkb)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    to = jnp.where(jnp.abs(rows - cols) <= h, t, 0.0).astype(sdtype)
     if bjk + 2 * kh >= nkb:
         out = x
         for _ in range(n_apply):

@@ -85,11 +85,17 @@ def sharded_propagate_rows(
 
 
 def _dot(a, b, matmul_dtype):
+    """Matmul in ``matmul_dtype`` (or the operand dtype if ``None``) with
+    f32 accumulation AND an f32 result: low-precision operands — including
+    ones the caller pre-cast for ICI-byte savings — never round the output
+    back down, so carries between squarings/applications stay f32 like the
+    single-device kernels (`matmul_square`/`square_banded` use
+    preferred_element_type=f32 the same way)."""
     if matmul_dtype is not None:
-        return jnp.dot(
-            a.astype(matmul_dtype), b.astype(matmul_dtype),
-            preferred_element_type=jnp.float32,
-        )
+        a = a.astype(matmul_dtype)
+        b = b.astype(matmul_dtype)
+    if a.dtype in (jnp.bfloat16, jnp.float16):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
     return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
 
 

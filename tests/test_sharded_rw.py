@@ -81,6 +81,40 @@ def test_banded_sharded_propagate_parity(rng):
     np.testing.assert_allclose(got2, want, atol=1e-3, rtol=1e-3)
 
 
+def test_banded_sharded_bf16_keeps_f32_carry(rng):
+    """ADVICE r2 regression: in bf16 mode the mesh-banded carries (T
+    between squarings, the seed matrix between applications, the psum)
+    must accumulate in f32 — only the matmul OPERANDS are bf16. The
+    output dtype pins it structurally, and a numeric bound pins it
+    behaviorally: with f32 carries the only rounding is per-matmul
+    operand quantization, so 2 squarings + 4 applications stay within a
+    few bf16 ulps of the f32 result instead of compounding."""
+    from irn_tpu.parallel.rw_sharded import (
+        banded_matrix_power,
+        banded_propagate_rows,
+    )
+
+    mesh = mesh_mod.make_mesh(n_data=1, n_model=8)
+    n, h = 8 * 32, 12
+    t = _banded(rng, n, h)
+    # column-normalize so magnitudes mimic a real transition matrix
+    t = t / np.maximum(t.sum(axis=0, keepdims=True), 1e-6)
+    seeds = rng.random((8, n)).astype(np.float32)
+
+    t2 = banded_matrix_power(jnp.asarray(t), 2, h, mesh,
+                             matmul_dtype=jnp.bfloat16)
+    assert t2.dtype == jnp.float32  # carry not rounded to bf16
+    got = banded_propagate_rows(jnp.asarray(seeds), t2, 4, mesh,
+                                matmul_dtype=jnp.bfloat16)
+    assert got.dtype == jnp.float32
+
+    want = seeds @ np.linalg.matrix_power(t, 4 * 4)
+    # bf16 has ~3 decimal digits; f32 carries keep the relative error at
+    # the few-ulp level even through 6 chained products
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0.05,
+                               atol=2e-4 * np.abs(want).max())
+
+
 def test_sharded_assembly_matches_dense_affinity(rng):
     """Per-device row-block assembly from the band-value table ==
     the replicated dense_affinity (and the normalized transition too)."""
