@@ -147,10 +147,30 @@ class Config:
     make_cocoann_pass: bool = False
 
     def resolve(self) -> "Config":
-        if not self.cls_labels_path:
-            import os
+        import os
 
-            self.cls_labels_path = os.path.join(self.voc12_root, "cls_labels.npy")
+        def in_repo(rel: str) -> str:
+            """Fall back to the repo checkout for the shipped voc12/ split
+            lists (voc12/README.md) when ``rel`` doesn't exist relative to
+            the working directory — a fresh checkout + --voc12_root runs
+            with no hand-authored lists."""
+            if rel and not os.path.exists(rel) and not os.path.isabs(rel):
+                cand = os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__)))), rel)
+                if os.path.exists(cand):
+                    return cand
+            return rel
+
+        self.train_list = in_repo(self.train_list)
+        self.val_list = in_repo(self.val_list)
+        self.infer_list = in_repo(self.infer_list)
+        if not self.cls_labels_path:
+            at_root = os.path.join(self.voc12_root, "cls_labels.npy")
+            self.cls_labels_path = (
+                at_root if os.path.exists(at_root)
+                else in_repo(os.path.join("voc12", "cls_labels.npy"))
+            )
         return self
 
     def rw_matmul_jnp_dtype(self):

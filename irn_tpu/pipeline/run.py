@@ -94,9 +94,12 @@ def run_pipeline(cfg: Config) -> None:
 
 def main(argv=None) -> None:
     cfg = config_from_args(argv)
-    Logger(cfg.log_name + ".log")
-    print(dataclasses.asdict(cfg))
-    run_pipeline(cfg)
+    logger = Logger(cfg.log_name + ".log")
+    try:
+        print(dataclasses.asdict(cfg))
+        run_pipeline(cfg)
+    finally:
+        logger.close()
 
 
 if __name__ == "__main__":
