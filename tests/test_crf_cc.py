@@ -121,3 +121,152 @@ def test_rle_known_example():
     mask = np.array([[1, 0, 0], [0, 0, 1]], np.uint8)
     rle = cc.rle_encode(mask)
     assert rle["counts"] == [0, 1, 4, 1]
+
+
+# ---------------------------------------------------------------------------
+# Exact O(N^2) mean-field oracle (VERDICT r2 item 4)
+#
+# The twin lattice implementations (native/densecrf.cpp and
+# irn_tpu/ops/crf.py) share one formulation, so a systematic convention
+# error would pass their cross-validation. These tests pin the math
+# independently against brute-force dense computation, with the DenseCRF v2
+# conventions (Krähenbühl & Koltun NIPS'11 — the behavior pydensecrf wraps,
+# /root/reference/misc/imutils.py:156-170) spelled out:
+#
+#   k(f_i, f_j) = exp(-1/2 ||f_i - f_j||^2), features pre-scaled by 1/sxy
+#     (position) and 1/srgb (color) — paper Eq. 3;
+#   message passing is SYMMETRICALLY normalized, D^-1/2 K D^-1/2
+#     (densecrf2's NORMALIZE_SYMMETRIC default);
+#   the filter INCLUDES the self term (the lattice blur keeps the center);
+#   mean-field update Q ∝ exp(log p_unary + Σ_m w_m (K_m Q)): POSITIVE
+#     Potts weight attracts same-label mass (densecrf2 PottsCompatibility
+#     stores -w and SUBTRACTS the message; the two minuses cancel);
+#   unary from a hard label map: log(gt_prob) on the seed label,
+#     log((1-gt_prob)/(n_labels-1)) elsewhere, 10 iterations, argmax.
+# ---------------------------------------------------------------------------
+
+
+def _exact_kernel(f):
+    d2 = ((f[:, None, :] - f[None, :, :]) ** 2).sum(-1)
+    return np.exp(-0.5 * d2)
+
+
+def _crf_test_features(h, w, img):
+    n = h * w
+    ys, xs = np.mgrid[0:h, 0:w]
+    fg = np.stack([xs / 3.0, ys / 3.0], -1).reshape(n, 2)
+    fb = np.concatenate(
+        [np.stack([xs / 50.0, ys / 50.0], -1).reshape(n, 2),
+         img.reshape(n, 3) / 5.0], axis=1)
+    return fg, fb
+
+
+def test_lattice_filter_pins_conventions_against_exact(rng):
+    """Both lattice paths must sit closer to the EXACT symmetric-normalized
+    self-inclusive Gaussian than to any wrong-convention alternative
+    (bandwidth off 1.5x either way, asymmetric D^-1 K normalization,
+    self-term excluded). A shared systematic error in either convention
+    would flip at least one of these orderings."""
+    h, w = 20, 24
+    n = h * w
+    ys, xs = np.mgrid[0:h, 0:w]
+    img = np.stack([120 + 80 * np.sin(xs / 6.0),
+                    100 + 70 * np.cos(ys / 5.0),
+                    90 + 60 * np.sin((xs + ys) / 8.0)], -1)
+    fg, fb = _crf_test_features(h, w, img)
+    vals = rng.random((n, 4))
+
+    def exact_sym(f):
+        k = _exact_kernel(f)
+        nr = 1 / np.sqrt(k.sum(1))
+        return nr[:, None] * (k @ (nr[:, None] * vals))
+
+    def exact_asym(f):
+        k = _exact_kernel(f)
+        return (k @ vals) / k.sum(1)[:, None]
+
+    def exact_noself(f):
+        k = _exact_kernel(f)
+        np.fill_diagonal(k, 0.0)
+        nr = 1 / np.sqrt(np.maximum(k.sum(1), 1e-12))
+        return nr[:, None] * (k @ (nr[:, None] * vals))
+
+    impls = [("numpy", crf._filter_normalized_np)]
+    if native.load() is not None:
+        impls.append(
+            ("native", lambda f, v: crf.filter_normalized(
+                f.astype(np.float32), v.astype(np.float32))))
+
+    # measured margins (v5e dev box): the weakest discrimination per kernel
+    # is no-self at 1.5x for gaussian and asym-norm at 1.1x for bilateral —
+    # each wrong convention is rejected >=1.4x by at least one kernel, and
+    # jointly by the sum
+    for name, impl in impls:
+        tot_right = 0.0
+        tot_wrong = {"bw*1.5": 0.0, "bw/1.5": 0.0, "asym": 0.0, "noself": 0.0}
+        for f in (fg, fb):
+            got = np.asarray(impl(f, vals), np.float64)
+            tot_right += np.abs(got - exact_sym(f)).mean()
+            tot_wrong["bw*1.5"] += np.abs(got - exact_sym(f * 1.5)).mean()
+            tot_wrong["bw/1.5"] += np.abs(got - exact_sym(f / 1.5)).mean()
+            tot_wrong["asym"] += np.abs(got - exact_asym(f)).mean()
+            tot_wrong["noself"] += np.abs(got - exact_noself(f)).mean()
+        for wname, werr in tot_wrong.items():
+            assert werr > 1.4 * tot_right, (name, wname, werr, tot_right)
+
+
+def _exact_crf_labels(img, labels, t, n_labels, gt_prob, sign=1.0):
+    h, w = labels.shape
+    n = h * w
+    p_other = (1.0 - gt_prob) / max(n_labels - 1, 1)
+    un = np.full((n, n_labels), np.log(p_other))
+    un[np.arange(n), labels.reshape(-1)] = np.log(gt_prob)
+    mats = []
+    for f, wgt in zip(_crf_test_features(h, w, img.astype(np.float64)),
+                      (3.0, 10.0)):
+        k = _exact_kernel(f)
+        nr = 1 / np.sqrt(k.sum(1))
+        mats.append(wgt * (nr[:, None] * k * nr[None, :]))
+
+    def softmax(x):
+        e = np.exp(x - x.max(1, keepdims=True))
+        return e / e.sum(1, keepdims=True)
+
+    q = softmax(un)
+    for _ in range(t):
+        q = softmax(un + sign * (mats[0] @ q + mats[1] @ q))
+    return q.argmax(1).reshape(h, w)
+
+
+def test_crf_label_matches_exact_mean_field(rng):
+    """Full-pipeline-parameter CRF (t=10, gt_prob 0.7, sxy 3/50, srgb 5,
+    compat 3/10) on a small scene: both lattice paths must reproduce the
+    EXACT dense mean-field argmax at >=99% pixels, strictly better than
+    they match a flipped-pairwise-sign oracle — and the oracle must
+    actually be exercising the CRF (it moves >10% of the seed labels)."""
+    h, w = 24, 30
+    ys, xs = np.mgrid[0:h, 0:w]
+    img = np.full((h, w, 3), 40.0)
+    img[:, : w // 2] = (200, 60, 60)
+    img[h // 3:, w // 2:] = (60, 180, 90)
+    img = np.clip(img + rng.normal(0, 8, (h, w, 3)), 0, 255).astype(np.uint8)
+    labels = np.zeros((h, w), np.int32)
+    labels[:, : w // 2 - 2] = 1      # seeds misaligned vs color regions
+    labels[h // 3 + 2:, w // 2:] = 2
+    labels[rng.random((h, w)) < 0.08] = 3
+
+    want = _exact_crf_labels(img, labels, 10, 4, 0.7)
+    want_flip = _exact_crf_labels(img, labels, 10, 4, 0.7, sign=-1.0)
+    assert (want != labels).mean() > 0.10  # the CRF is doing real work
+
+    got_np = crf._crf_label_np(img.astype(np.float64), labels, 10, 4, 0.7,
+                               3.0, 3.0, 50.0, 5.0, 10.0)
+    outs = [("numpy", got_np)]
+    if native.load() is not None:
+        outs.append(("native", crf.crf_inference_label(img, labels,
+                                                       n_labels=4)))
+    for name, got in outs:
+        agree = (got == want).mean()
+        agree_flip = (got == want_flip).mean()
+        assert agree >= 0.99, (name, agree)
+        assert agree > agree_flip, (name, agree, agree_flip)
