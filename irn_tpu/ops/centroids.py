@@ -28,7 +28,6 @@ from irn_tpu.data.transforms import compress_range
 from irn_tpu.ops import cc
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
 def find_centroids(dp: jax.Array, iterations: int = 300) -> jax.Array:
     """Advect per-pixel particles through the displacement field.
 
@@ -37,42 +36,12 @@ def find_centroids(dp: jax.Array, iterations: int = 300) -> jax.Array:
 
     Returns:
       [2, H, W] int32 rounded converged (y, x) coordinates.
-    """
+
+    The static-extent special case of :func:`find_centroids_bounded`
+    (clipping to the full grid)."""
     h, w = dp.shape[1], dp.shape[2]
-    dpy = dp[0]
-    dpx = dp[1]
-
-    cy0 = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    cx0 = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-
-    def sample(field: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
-        uy = jnp.ceil(y).astype(jnp.int32)
-        dy = jnp.floor(y).astype(jnp.int32)
-        yc = y - dy
-        ux = jnp.ceil(x).astype(jnp.int32)
-        dx = jnp.floor(x).astype(jnp.int32)
-        xc = x - dx
-        flat = field.reshape(-1)
-
-        def at(yy, xx):
-            return flat[(yy * w + xx).reshape(-1)].reshape(h, w)
-
-        return (
-            at(uy, ux) * yc * xc
-            + at(dy, ux) * (1 - yc) * xc
-            + at(uy, dx) * yc * (1 - xc)
-            + at(dy, dx) * (1 - yc) * (1 - xc)
-        )
-
-    def body(_, carry):
-        y, x = carry
-        ny = jnp.clip(y + sample(dpy, y, x), 0.0, h - 1.0)
-        nx = jnp.clip(x + sample(dpx, y, x), 0.0, w - 1.0)
-        return ny, nx
-
-    cy, cx = jax.lax.fori_loop(0, iterations, body, (cy0, cx0))
-    return jnp.stack(
-        [jnp.rint(cy).astype(jnp.int32), jnp.rint(cx).astype(jnp.int32)], axis=0
+    return find_centroids_bounded(
+        dp, jnp.int32(h), jnp.int32(w), iterations
     )
 
 

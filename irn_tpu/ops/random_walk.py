@@ -592,7 +592,7 @@ def upsample_and_decode(
     h0: jax.Array,
     w0: jax.Array,
     bg_thres: float,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """x4 bilinear upsample, max-normalize, bg-threshold-pad, argmax.
 
     Matches step/make_sem_seg_labels.py:44-47 with dynamic true extents.

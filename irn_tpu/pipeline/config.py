@@ -47,6 +47,17 @@ class Config:
     conf_bg_thres: float = 0.05
     crf_iters: int = 10
     crf_gt_prob: float = 0.7
+    crf_backend: str = "native"           # 'native': host permutohedral
+                                          # lattice (threaded, pydensecrf
+                                          # parity); 'tpu': landmark-kernel
+                                          # mean field on device (exact
+                                          # separable Gaussian + stride-4
+                                          # landmark bilateral as one MXU
+                                          # matmul/iter; ~99% label
+                                          # agreement, ops/crf_tpu.py)
+    crf_landmark_stride: int = 4          # tpu backend: landmark subgrid
+                                          # stride (spatial sigma is 50 px,
+                                          # so 4 is already conservative)
 
     # IRNet
     irn_crop_size: int = 512

@@ -400,9 +400,14 @@ def eval_cam(cfg: Config, sweep: bool = False):
 
 def cam_to_ir_label(cfg: Config) -> None:
     """CAM -> confident inter-pixel relation seeds via dense CRF
-    (step/cam_to_ir_label.py). CPU-bound: the native CRF releases the GIL,
-    so a thread pool gives real parallelism (the reference fans out one
-    process per CPU worker, cam_to_ir_label.py:51-54)."""
+    (step/cam_to_ir_label.py).
+
+    ``crf_backend='native'`` (default): CPU-bound; the native lattice
+    releases the GIL, so a thread pool gives real parallelism (the
+    reference fans out one process per CPU worker,
+    cam_to_ir_label.py:51-54). ``'tpu'``: the landmark-kernel mean field
+    (ops/crf_tpu.py) refines each fg/bg pair on device — host threads are
+    then only overlapping I/O with device steps."""
     from concurrent.futures import ThreadPoolExecutor
 
     from irn_tpu.ops import native as native_mod
@@ -412,10 +417,23 @@ def cam_to_ir_label(cfg: Config) -> None:
     )
     os.makedirs(cfg.ir_label_out_dir, exist_ok=True)
     n = len(ds)
-    # split cores between image-level fan-out and the native filter's
-    # OpenMP threads (they multiply)
-    n_pool = max(1, cfg.num_workers)
-    native_mod.set_num_threads(max(1, (os.cpu_count() or 1) // n_pool))
+    if cfg.crf_backend == "tpu":
+        from irn_tpu.ops import crf_tpu
+
+        device_crf = crf_tpu.LandmarkCRF(
+            stride=cfg.crf_landmark_stride, t=cfg.crf_iters,
+            pad_multiple=cfg.pad_multiple,
+        )
+        refine = functools.partial(device_crf.pair)
+    else:
+        device_crf = None
+        refine = functools.partial(
+            crf.crf_inference_label_pair, t=cfg.crf_iters
+        )
+        # split cores between image-level fan-out and the native filter's
+        # OpenMP threads (they multiply)
+        n_pool = max(1, cfg.num_workers)
+        native_mod.set_num_threads(max(1, (os.cpu_count() or 1) // n_pool))
 
     def work(i: int):
         sample = ds[i]
@@ -439,8 +457,8 @@ def cam_to_ir_label(cfg: Config) -> None:
             np.pad(cams, ((1, 0), (0, 0), (0, 0)), constant_values=cfg.conf_bg_thres),
             axis=0,
         ).astype(np.int32)
-        fg_pred, bg_pred = crf.crf_inference_label_pair(
-            img, fg_map, bg_map, t=cfg.crf_iters, n_labels=keys.shape[0],
+        fg_pred, bg_pred = refine(
+            img, fg_map, bg_map, n_labels=keys.shape[0],
             gt_prob=cfg.crf_gt_prob,
         )
         fg_conf = keys[fg_pred]
