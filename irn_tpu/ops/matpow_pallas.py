@@ -538,6 +538,116 @@ def _apply_chain_packed(x, t, h, n_apply, sdtype, bs, interpret):
     return out[:, pad : pad + n]
 
 
+def _packed_chain_batch_kernel(x_ref, tp_ref, o_ref, xa, xb, *,
+                               kh, bs, n, n_apply, c):
+    a = pl.program_id(0)
+    j = pl.program_id(1)
+    pad = kh * bs
+    span = (2 * kh + 1) * bs
+    nimg = tp_ref.shape[0]
+
+    @pl.when((a == 0) & (j == 0))
+    def _zero_pads():
+        for buf in (xa, xb):
+            buf[:, :pad] = jnp.zeros_like(buf[:, :pad])
+            buf[:, pad + n :] = jnp.zeros_like(buf[:, pad + n :])
+
+    sl = pl.ds(j * bs, span)
+    so = pl.ds(pad + j * bs, bs)
+    for b in range(nimg):  # static unroll: B dots per tile DMA
+        rows = pl.ds(b * c, c)
+        cur = jnp.where(
+            a == 0,
+            x_ref[rows, sl],
+            jnp.where(a % 2 == 1, xa[rows, sl], xb[rows, sl]),
+        )
+        res = _dot_block(cur.astype(tp_ref.dtype), tp_ref[b, 0], None)
+
+        @pl.when(a % 2 == 0)
+        def _wa(res=res, rows=rows):
+            xa[rows, so] = res.astype(xa.dtype)
+
+        @pl.when(a % 2 == 1)
+        def _wb(res=res, rows=rows):
+            xb[rows, so] = res.astype(xb.dtype)
+
+        @pl.when(a == n_apply - 1)
+        def _out(res=res, rows=rows):
+            o_ref[rows, so] = res
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "n_apply", "matmul_dtype", "bs", "interpret"),
+)
+def apply_banded_chain_batched(
+    xs: jax.Array,
+    ts: jax.Array,
+    h: int,
+    n_apply: int,
+    matmul_dtype: Optional[jnp.dtype] = None,
+    bs: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """All B images' thin-application chains in ONE kernel launch.
+
+    ``xs``: [B, C, n] seed matrices (C a multiple of 8); ``ts``: [B, n, n]
+    banded transitions sharing (n, h) — the per-image T^(2^e) of a shared
+    shape bucket. Each grid step DMAs one [B, span, bs] stack of packed
+    band tiles and runs B small dots against it, amortizing the per-step
+    fixed cost that leaves the single-image chain at ~46% of HBM peak
+    (BASELINE.md round-2 postscript; the dots are [C, span] x [span, bs] —
+    compute-tiny, step-overhead bound). Returns [B, C, n] f32.
+    """
+    bimg, c, n = xs.shape
+    assert ts.shape == (bimg, n, n), (xs.shape, ts.shape)
+    if n % bs or c % 8:
+        raise ValueError(f"bad shapes xs={xs.shape} bs={bs}")
+    nkb = n // bs
+    kh = -(-h // bs)
+    if 1 + 2 * kh >= nkb:
+        raise ValueError(f"band 2*{h} does not fit n={n} (bs={bs})")
+    pad = kh * bs
+    span = (2 * kh + 1) * bs
+    sdtype = matmul_dtype if matmul_dtype is not None else jnp.float32
+    tp = jnp.stack([
+        pack_banded(ts[b], h, bs, sdtype, interpret=interpret)
+        for b in range(bimg)
+    ])  # [B, nb, span, bs]
+    xo = jnp.pad(xs.astype(sdtype), ((0, 0), (0, 0), (pad, pad)))
+    xo = xo.reshape(bimg * c, n + 2 * pad)
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_chain_batch_kernel, kh=kh, bs=bs, n=n, n_apply=n_apply,
+            c=c,
+        ),
+        grid=(n_apply, nkb),
+        in_specs=[
+            pl.BlockSpec((bimg * c, n + 2 * pad), lambda a, j: (0, 0)),
+            pl.BlockSpec((bimg, 1, span, bs), lambda a, j: (0, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bimg * c, n + 2 * pad), lambda a, j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bimg * c, n + 2 * pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bimg * c, n + 2 * pad), sdtype),
+            pltpu.VMEM((bimg * c, n + 2 * pad), sdtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bimg * c * span * bs * nkb * n_apply,
+            bytes_accessed=n_apply * nkb * bimg * span * bs
+            * jnp.dtype(sdtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xo, tp)
+    out = out.reshape(bimg, c, n + 2 * pad)
+    return out[:, :, pad : pad + n]
+
+
 def _pack_kernel(t_ref, o_ref, *, kh, nb):
     j = pl.program_id(0)
     mr = pl.program_id(1)

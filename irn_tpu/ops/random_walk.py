@@ -426,6 +426,62 @@ def propagate_banded(
     )
 
 
+def propagate_banded_batch(
+    geom: RandomWalkGeometry,
+    cams_capped: jax.Array,
+    edges_capped: jax.Array,
+    beta: int = 10,
+    exp_times: int = 8,
+    matmul_dtype: Optional[jnp.dtype] = None,
+    square_times: Optional[int] = None,
+    bs: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """B same-bucket images' banded random walks with ONE fused apply
+    chain (:func:`matpow_pallas.apply_banded_chain_batched`): each image
+    keeps its own transition matrix (edge-dependent), but the thin
+    applications — the HBM-rate-bound 2^(E-e) steps that dominate the
+    hybrid schedule — share one kernel launch so every band-tile DMA
+    carries B images' tiles. Transitions are built per image (the
+    squarings are MXU-bound; nothing to amortize).
+
+    ``cams_capped``: [B, C, cap_h, cap_w]; ``edges_capped``:
+    [B, cap_h, cap_w]. Returns [B, C, cap_h, cap_w], each row equal to
+    :func:`propagate_banded` of that image (same operator, same kernels —
+    the batched chain only changes the grid walk)."""
+    e = exp_times if square_times is None else square_times
+    if not 0 <= e <= exp_times:
+        raise ValueError(f"square_times={e} not in [0, {exp_times}]")
+    bimg = cams_capped.shape[0]
+    if not banded_fits(geom, exp_times, e, bs):
+        return jnp.stack([
+            propagate(geom, cams_capped[b], edges_capped[b], beta,
+                      exp_times, matmul_dtype, square_times=square_times)
+            for b in range(bimg)
+        ])
+    ts = []
+    band = None
+    for b in range(bimg):
+        t, band = build_transition_banded(
+            geom, edges_capped[b], beta, e, matmul_dtype, bs, interpret
+        )
+        ts.append(t)
+    seeds = jnp.stack([
+        _flat_seeds(geom, cams_capped[b], edges_capped[b])
+        for b in range(bimg)
+    ])
+    c = seeds.shape[1]
+    c_pad = _round_up(c, 8)
+    seeds = jnp.pad(seeds, ((0, 0), (0, c_pad - c), (0, 0)))
+    from irn_tpu.ops.matpow_pallas import apply_banded_chain_batched
+
+    rw = apply_banded_chain_batched(
+        seeds, jnp.stack(ts), band, 1 << (exp_times - e), matmul_dtype,
+        bs, interpret,
+    )
+    return jnp.stack([_unflatten_rw(geom, rw[b, :c]) for b in range(bimg)])
+
+
 def pick_square_times_banded(exp_times: int) -> int:
     """Squarings-vs-applications split for the BANDED kernels: e=1.
 

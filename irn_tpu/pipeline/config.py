@@ -112,11 +112,14 @@ class Config:
                                           # extra chunks through the same
                                           # program (T is seed-independent)
     pad_multiple: int = 64                # inference shape bucketing
-    cam_infer_batch: int = 16             # make_cam: stack this many
+    cam_infer_batch: int = 32             # make_cam: stack this many
                                           # same-size images per scale pass
                                           # (feeds the MXU; 1 = per-image;
-                                          # v5e sweep: 16.8/46.7/77/81 img/s
-                                          # at k=1/8/16/32 — 16 is the knee)
+                                          # v5e r3 sweep after the
+                                          # matmul-resize fix: 96.7 img/s
+                                          # at k=16, 110 at k=32 — round-2's
+                                          # flat knee at 16 was the gather
+                                          # resize's fixed cost)
     edge_infer_batch: int = 1             # make_sem_seg/make_ins_seg:
                                           # images per EdgeDisplacement
                                           # forward (any size mix batches —

@@ -190,7 +190,9 @@ def build_cam_scale_pass(model: CAMNet, variables, s4_cap: int, su_cap: int):
 
     @functools.lru_cache(maxsize=None)
     def scale_pass(ph: int, pw: int, k: int):
-        @jax.jit
+        # donate the cross-scale accumulators: XLA aliases them in-place
+        # instead of copying the 420 MB h_acc buffer every scale pass
+        @functools.partial(jax.jit, donate_argnums=(11, 12))
         def run(img_u8, sh, sw, vh, vw, s4h, s4w, suh, suw, oh, ow,
                 s_acc, h_acc):
             # uint8 upload; normalize + pad-mask + flip pairs on device

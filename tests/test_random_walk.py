@@ -270,3 +270,51 @@ def test_apply_chain_rect_tiles_ignore_out_of_band_garbage(rng):
                                bs=bsz, bj=bj, interpret=True)
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_batched_apply_chain_matches_per_image(rng):
+    """apply_banded_chain_batched == per-image apply_banded_chain (the
+    batched grid only changes the tile walk), and the full
+    propagate_banded_batch == per-image propagate_banded."""
+    from irn_tpu.ops.matpow_pallas import (
+        apply_banded_chain,
+        apply_banded_chain_batched,
+    )
+
+    n, bs, h, bimg = 1024, 128, 130, 3
+    r = np.arange(n)
+    band = np.abs(r[:, None] - r[None, :]) <= h
+    ts, xs = [], []
+    for _ in range(bimg):
+        t = np.zeros((n, n), np.float32)
+        t[band] = rng.random(band.sum(), dtype=np.float32) * 0.01
+        ts.append(t)
+        xs.append(rng.random((8, n), dtype=np.float32))
+    got = np.asarray(apply_banded_chain_batched(
+        jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ts)), h, 4,
+        bs=bs, interpret=True,
+    ))
+    for b in range(bimg):
+        want = np.asarray(apply_banded_chain(
+            jnp.asarray(xs[b]), jnp.asarray(ts[b]), h, 4, bs=bs,
+            interpret=True,
+        ))
+        np.testing.assert_array_equal(got[b], want, err_msg=str(b))
+
+    geom = rw_mod.build_geometry(24, 24, radius=2)
+    h4 = w4 = 20
+    edges = np.ones((bimg, 24, 24), np.float32)
+    edges[:, :h4, :w4] = rng.random((bimg, h4, w4)).astype(np.float32)
+    cams = np.zeros((bimg, 3, 24, 24), np.float32)
+    cams[:, :, :h4, :w4] = rng.random((bimg, 3, h4, w4))
+    assert rw_mod.banded_fits(geom, 3, 1, bs=128)
+    got_b = np.asarray(rw_mod.propagate_banded_batch(
+        geom, jnp.asarray(cams), jnp.asarray(edges), beta=10, exp_times=3,
+        square_times=1, bs=128, interpret=True,
+    ))
+    for b in range(bimg):
+        want = np.asarray(rw_mod.propagate_banded(
+            geom, cams[b], edges[b], beta=10, exp_times=3,
+            square_times=1, bs=128, interpret=True,
+        ))
+        np.testing.assert_array_equal(got_b[b], want, err_msg=str(b))

@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--images", type=int, default=48)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--only", nargs="+", default=None,
+                    help="subset of variants: full fwd nomask scales")
     args = ap.parse_args()
     k = args.k
 
@@ -128,13 +130,17 @@ def main():
         )
         float(s_acc.sum())
 
-    t_full = time_variant("full", run_full)
-    t_fwd = time_variant("fwd", run_fwd)
-    time_variant("fwd-nomask", lambda ch: run_fwd(ch, masked=False))
-    for idx, s in enumerate(SCALES):
-        time_variant(f"scale={s}", lambda ch, i=idx: run_one_scale(ch, i))
-    print(f"full - fwd   : {1000 * (t_full - t_fwd):7.2f} ms/img "
-          "(resizes + accumulation + glue)", flush=True)
+    sel = set(args.only or ("full", "fwd", "nomask", "scales"))
+    t_full = time_variant("full", run_full) if "full" in sel else None
+    t_fwd = time_variant("fwd", run_fwd) if "fwd" in sel else None
+    if "nomask" in sel:
+        time_variant("fwd-nomask", lambda ch: run_fwd(ch, masked=False))
+    if "scales" in sel:
+        for idx, s in enumerate(SCALES):
+            time_variant(f"scale={s}", lambda ch, i=idx: run_one_scale(ch, i))
+    if t_full is not None and t_fwd is not None:
+        print(f"full - fwd   : {1000 * (t_full - t_fwd):7.2f} ms/img "
+              "(resizes + accumulation + glue)", flush=True)
 
 
 if __name__ == "__main__":
