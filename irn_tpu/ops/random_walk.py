@@ -483,17 +483,19 @@ def propagate_banded_batch(
 
 
 def pick_square_times_banded(exp_times: int) -> int:
-    """Squarings-vs-applications split for the BANDED kernels: e=1.
+    """Squarings-vs-applications split for the BANDED path: e=0.
 
-    Banded per-application traffic is ~n*(2*ceil(h*2^e/bs)+1)*bs bytes
-    over 2^(E-e) applications — the block-quantization constant (+1 tile
-    per column) shrinks with e while squaring cost quadruples per step,
-    leaving a flat e=1/e=2 valley. Measured on v5e-1 at both production
-    buckets (tools/bench_banded.py, BASELINE.md): 43.2/44.4 ms at
-    n=14336 and 62.2/64.7 ms at n=18432 for e=1/e=2 — e=1 wins both, and
-    the dense :func:`pick_square_times` model (which picks 2 at 18432)
-    doesn't transfer."""
-    return min(1, exp_times)
+    With the round-3 windowed-einsum chain (matpow_pallas._apply_chain_xla,
+    the default apply impl) the packed band tiles stay VMEM-resident across
+    the whole chain, so applications stopped being HBM-bound and squarings
+    stopped paying for themselves entirely: measured on v5e-1 at both
+    production buckets (tools/bench_banded.py full-propagate sweep,
+    BASELINE.md round-3): e=0/e=1/e=2 = 26.9/30.1/46.2 ms at n=14336 and
+    39.2/63.3/66.2 ms at n=18432 — zero squarings, 2^E thin applications
+    against the narrowest band wins both. (Round-2's e=1 valley was a
+    property of the HBM-streaming Pallas chain, kept under
+    IRN_TPU_APPLY=pallas.)"""
+    return 0
 
 
 def pick_square_times(

@@ -272,6 +272,32 @@ def test_apply_chain_rect_tiles_ignore_out_of_band_garbage(rng):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_apply_chain_xla_matches_pallas(rng):
+    """The windowed-einsum chain (impl='xla', the TPU default) is
+    bit-identical to the Pallas packed chain: same packed tiles, same f32
+    accumulation, same f32->operand-dtype carry rounding between
+    applications. Checked in both f32 and bf16 operand modes."""
+    from irn_tpu.ops.matpow_pallas import apply_banded_chain
+
+    n, bs, h = 1024, 128, 130
+    r = np.arange(n)
+    band = np.abs(r[:, None] - r[None, :]) <= h
+    t = np.zeros((n, n), np.float32)
+    t[band] = rng.random(band.sum(), dtype=np.float32) * 0.01
+    t /= t.sum(0, keepdims=True)
+    x = rng.random((8, n), dtype=np.float32)
+    for dt in (None, jnp.bfloat16):
+        pallas = np.asarray(apply_banded_chain(
+            jnp.asarray(x), jnp.asarray(t), h, 4, matmul_dtype=dt,
+            bs=bs, interpret=True, impl="pallas",
+        ))
+        xla = np.asarray(apply_banded_chain(
+            jnp.asarray(x), jnp.asarray(t), h, 4, matmul_dtype=dt,
+            bs=bs, interpret=True, impl="xla",
+        ))
+        np.testing.assert_array_equal(xla, pallas, err_msg=str(dt))
+
+
 def test_batched_apply_chain_matches_per_image(rng):
     """apply_banded_chain_batched == per-image apply_banded_chain (the
     batched grid only changes the tile walk), and the full
