@@ -338,13 +338,14 @@ class RandomWalkRunner:
 
     def _resolve(self, geom):
         """(square_times, banded) for this geometry. Banded engages at the
-        banded-measured split (pick_square_times_banded — the dense
-        model's e=2 choice at 18432 loses 4% to e=1 under the banded
-        kernels) whenever THAT split's band fits; checking fit at the
-        dense pick first would miss geometries where only the smaller
-        banded exponent stays under the matrix. Falls back to the dense
-        cost model (with banded still possible at its pick when
-        rw_square_times pins the exponent)."""
+        banded-measured split (pick_square_times_banded — e=0 under the
+        VMEM-resident windowed chain; the dense model's e=2 choice at
+        18432 loses >60% to it, BASELINE.md round-3) whenever THAT
+        split's band fits; checking fit at the dense pick first would
+        miss geometries where only the smaller banded exponent stays
+        under the matrix. Falls back to the dense cost model (with
+        banded still possible at its pick when rw_square_times pins the
+        exponent)."""
         if self.square_times_cfg < 0:
             sqb = rw_mod.pick_square_times_banded(self.exp_times)
             if self._use_banded(geom, sqb):
