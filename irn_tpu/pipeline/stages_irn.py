@@ -408,9 +408,17 @@ class RandomWalkRunner:
             n_apply = 1 << (self.exp_times - sq)
             band = rw_mod.band_halfwidth(geom) << sq
             mesh_banded = (not banded) and self._mesh_banded(geom, sq)
+            # e=0 + default impl: T stays in diagonal form (w, inv) — the
+            # same f32-exact stencil the fused program uses, so chunked
+            # labels remain bit-equal to fused ones
+            diag = banded and sq == 0 and rw_mod.diag_selected()
 
             @jax.jit
             def build_t(edge: jax.Array):
+                if diag:
+                    return rw_mod.build_diag_operator(
+                        geom, edge, beta=self.beta
+                    )
                 if banded:
                     t, _ = rw_mod.build_transition_banded(
                         geom, edge, beta=self.beta, square_times=sq,
@@ -430,7 +438,11 @@ class RandomWalkRunner:
 
             @jax.jit
             def chunk(cam, edge, t, h4, w4, h0, w0, row0, best_val, best_row):
-                if banded:
+                if diag:
+                    rw = rw_mod.apply_transition_diag(
+                        geom, cam, edge, t, n_apply
+                    )
+                elif banded:
                     rw = rw_mod.apply_transition_banded(
                         geom, cam, edge, t, band, n_apply,
                         matmul_dtype=self.mm_dtype,
@@ -544,8 +556,12 @@ class RandomWalkRunner:
         k = cam_rows.shape[0]
         assert k <= self.n_rows, (k, self.n_rows)
         assert h4 <= ch and w4 <= cw, (h4, w4, ch, cw)
-        cam = np.zeros((self.n_rows, ch, cw), np.float32)
-        cam[:k, :h4, :w4] = cam_rows
+        # upload only the true K seed rows (K = classes present, typically
+        # 1-3): through the relay transport ~1 MB/image of zero padding
+        # cost more than the walk's decode; the row pad to n_rows happens
+        # on device (a trivial per-K program)
+        cam = np.zeros((k, ch, cw), np.float32)
+        cam[:, :h4, :w4] = cam_rows
         cam_in = jnp.asarray(cam)
         edge_b = jnp.asarray(edge)[:ch, :cw]
         if self.mesh is not None:
@@ -556,11 +572,24 @@ class RandomWalkRunner:
             edge_b = jax.device_put(edge_b, rep)
         elif device is not None:
             cam_in = jax.device_put(cam_in, device)
+        cam_in = self._row_pad(k, ch, cw)(cam_in)
         labels, rw_up = self._program(ch, cw)(
             cam_in, edge_b, jnp.int32(h4), jnp.int32(w4),
             jnp.int32(size[0]), jnp.int32(size[1]), jnp.float32(bg_thres),
         )
         return labels, rw_up
+
+    def _row_pad(self, k: int, ch: int, cw: int):
+        key = ("row_pad", k, ch, cw)
+        with self._lock:
+            prog = self._programs.get(key)
+            if prog is None:
+                pad = self.n_rows - k
+                prog = jax.jit(
+                    lambda c: jnp.pad(c, ((0, pad), (0, 0), (0, 0)))
+                )
+                self._programs[key] = prog
+            return prog
 
 
 def _load_irn(cfg: Config):

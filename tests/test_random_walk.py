@@ -222,6 +222,42 @@ def test_banded_kernels_match_dense(rng):
     np.testing.assert_allclose(banded, dense, atol=1e-5, rtol=1e-4)
 
 
+def test_propagate_diag_matches_dense(rng):
+    """The e=0 diagonal-stencil path (the TPU production default) equals
+    the dense f32 schedule: T before any squaring has only 2*n_pairs+1
+    nonzero diagonals, and the stencil applies exactly those — no matrix,
+    no bf16 rounding of T. Also pins the propagate_banded dispatch: at
+    square_times=0 with the default impl it routes to the stencil
+    (bit-identical to propagate_diag), and the chunk-reusable
+    build/apply split equals the fused call bit-for-bit."""
+    geom = rw_mod.build_geometry(24, 24, radius=2)
+    h4 = w4 = 20
+    edge = np.ones((24, 24), np.float32)
+    edge[:h4, :w4] = rng.random((h4, w4)).astype(np.float32)
+    cam = np.zeros((3, 24, 24), np.float32)
+    cam[:, :h4, :w4] = rng.random((3, h4, w4))
+    dense = np.asarray(
+        rw_mod.propagate(geom, cam, edge, beta=10, exp_times=3,
+                         square_times=0)
+    )
+    diag = np.asarray(
+        rw_mod.propagate_diag(geom, cam, edge, beta=10, exp_times=3)
+    )
+    np.testing.assert_allclose(diag, dense, atol=1e-5, rtol=1e-4)
+
+    via_banded = np.asarray(
+        rw_mod.propagate_banded(geom, cam, edge, beta=10, exp_times=3,
+                                square_times=0)
+    )
+    np.testing.assert_array_equal(via_banded, diag)
+
+    winv = rw_mod.build_diag_operator(geom, jnp.asarray(edge), beta=10)
+    split = np.asarray(rw_mod.apply_transition_diag(
+        geom, jnp.asarray(cam), jnp.asarray(edge), winv, 1 << 3
+    ))
+    np.testing.assert_array_equal(split, diag)
+
+
 def test_banded_fits_gates():
     geom = rw_mod.build_geometry(16, 16, radius=2)
     # tiny grid: band covers the matrix -> dense fallback required
