@@ -122,21 +122,35 @@ def bench_make_sem_seg(rng):
     walker = RandomWalkRunner(cfg, n_seed_rows=20)
 
     n_images = 8
-    imgs = [
-        (rng.random((375, 500, 3)) * 255).astype(np.uint8)
-        for _ in range(n_images)
-    ]
-    # K=3 present classes per image (VOC images carry 1-3 GT classes; the
-    # device program pads to the fixed 20-row bucket either way, but only
-    # the true rows ride the host->device transport)
+    # pre-uploaded inputs, per the repo's tunnel benchmarking rules
+    # (CLAUDE.md): the relay transport serializes with execution and runs
+    # ~44 MB/s, so per-image H2D (786 KB padded uint8 + the K seed rows)
+    # adds ~20 ms/img HERE that is ~50 us on a co-located host. Measured
+    # relay-inclusive figure for the record: 24.5 img/s (prefetch threads
+    # don't help — the tunnel is one stream). K=3 seed rows = the classes
+    # present on a typical VOC image; the device program pads to its
+    # fixed 20-row bucket either way.
+    imgs = []
+    for _ in range(n_images):
+        p = np.zeros((512, 512, 3), np.uint8)
+        p[:375, :500] = (rng.random((375, 500, 3)) * 255).astype(np.uint8)
+        imgs.append(jnp.asarray(p))
     cam_rows = [
-        rng.random((3, 94, 125)).astype(np.float32)
+        jnp.asarray(rng.random((3, 96, 128)).astype(np.float32))
         for _ in range(n_images)
     ]
+    float(imgs[-1][0, 0, 0])
+    float(cam_rows[-1][0, 0, 0])
+
+    eargs = (jnp.int32(375), jnp.int32(500), jnp.int32(94), jnp.int32(125))
+    wargs = (jnp.int32(94), jnp.int32(125), jnp.int32(375), jnp.int32(500),
+             jnp.float32(0.25))
+    wprog = walker._program(96, 128)
+    rpad = walker._row_pad(3, 96, 128)
 
     def one(i):
-        edge, _, (h4, w4) = runner(imgs[i], (375, 500))
-        labels, _ = walker(cam_rows[i], edge, h4, w4, (375, 500), 0.25)
+        edge, _ = runner._run(imgs[i], *eargs)
+        labels, _ = wprog(rpad(cam_rows[i]), edge[:96, :128], *wargs)
         return labels
 
     float(one(0).sum())  # compile both programs (tunnel: fetch, not block)

@@ -23,10 +23,16 @@ TPU-first redesign (vs the reference's per-image rebuild):
   (mask-weighted) bilinear interpolation, which reproduces clamped-border
   bilinear exactly for axis-aligned valid regions.
 
-The 8 squarings (~70 TFLOP at the full 16k grid) run through
+Schedule (production default, round 3): **no squarings at all** — before
+any squaring T = colnorm(A^beta) has only 2*n_pairs+1 nonzero diagonals,
+so x @ T^256 runs as 256 diagonal-stencil applications
+(:func:`apply_diag_chain`), f32-exact and faster than every matmul
+formulation measured (BASELINE.md round-3). Pinning ``rw_square_times``
+> 0 engages the banded matmul paths: packed-tile application chains
+(``IRN_TPU_APPLY=xla`` windowed einsum | ``pallas`` grid) over
+:func:`matpow_pallas.square_banded` squarings; dense squarings via
 :func:`irn_tpu.ops.matpow.matrix_power_squarings` — unrolled XLA dots by
-default; ``IRN_TPU_MATPOW=pallas|fused`` selects the blocked Pallas kernel
-(measured trade-offs in the matpow module docstring / BASELINE.md).
+default, ``IRN_TPU_MATPOW=pallas|fused`` for the blocked Pallas kernels.
 """
 
 from __future__ import annotations
