@@ -440,6 +440,61 @@ def banded_sharded_fits(
     return 4 * (band_halfwidth(geom) << square_times) <= n
 
 
+def diag_sharded_fits(geom: RandomWalkGeometry, n_model: int) -> bool:
+    """Gate for the column-sharded diagonal stencil
+    (:func:`irn_tpu.parallel.rw_sharded.diag_apply_in_jit`): columns must
+    split evenly and each shard must cover the stencil halo (one-neighbor
+    ppermute)."""
+    n = geom.n_pad
+    return (
+        n_model >= 2
+        and n % n_model == 0
+        and n // n_model >= band_halfwidth(geom)
+    )
+
+
+def propagate_mesh_diag(
+    geom: RandomWalkGeometry,
+    cam_capped: jax.Array,
+    edge_capped: jax.Array,
+    beta: int,
+    exp_times: int,
+    mesh,
+) -> jax.Array:
+    """Mesh (long-context) variant of :func:`propagate_diag`: the seed
+    columns shard over the model axis and each of the 2^E applications
+    exchanges only the stencil halo over ICI. Same f32-exact results as
+    the single-device stencil."""
+    from irn_tpu.parallel import rw_sharded
+
+    w, inv = build_diag_operator(geom, edge_capped, beta)
+    seeds = _flat_seeds(geom, cam_capped, edge_capped)
+    rw = rw_sharded.diag_apply_in_jit(
+        seeds, w, inv, diag_offsets(geom), 1 << exp_times, mesh
+    )
+    return _unflatten_rw(geom, rw)
+
+
+def apply_transition_mesh_diag(
+    geom: RandomWalkGeometry,
+    cam_capped: jax.Array,
+    edge_capped: jax.Array,
+    winv: Tuple[jax.Array, jax.Array],
+    n_apply: int,
+    mesh,
+) -> jax.Array:
+    """Chunk-reusable mesh-diag application (the (w, inv) operator is
+    seed-independent, like the sharded T)."""
+    from irn_tpu.parallel import rw_sharded
+
+    w, inv = winv
+    seeds = _flat_seeds(geom, cam_capped, edge_capped)
+    rw = rw_sharded.diag_apply_in_jit(
+        seeds, w, inv, diag_offsets(geom), n_apply, mesh
+    )
+    return _unflatten_rw(geom, rw)
+
+
 def propagate_with_transition(
     geom: RandomWalkGeometry,
     cam_capped: jax.Array,
@@ -736,6 +791,18 @@ def propagate(
     if not 0 <= e <= exp_times:
         raise ValueError(f"square_times={e} not in [0, {exp_times}]")
     n_model = mesh.shape.get("model", 1) if mesh is not None else 1
+    if (
+        mesh_banded
+        and n_model > 1
+        and e == 0
+        and diag_selected()
+        and diag_sharded_fits(geom, n_model)
+    ):
+        # mesh analogue of the e=0 production default: diagonal stencil
+        # with halo ppermutes, f32-exact (see propagate_mesh_diag)
+        return propagate_mesh_diag(
+            geom, cam_capped, edge_capped, beta, exp_times, mesh
+        )
     if (
         mesh_banded
         and n_model > 1

@@ -336,6 +336,18 @@ class RandomWalkRunner:
             )
         )
 
+    def _mesh_diag(self, geom) -> bool:
+        """Column-sharded diagonal stencil (mesh analogue of the e=0
+        production default)."""
+        return (
+            self.mesh is not None
+            and self.banded_cfg
+            and rw_mod.diag_selected()
+            and rw_mod.diag_sharded_fits(
+                geom, self.mesh.shape.get("model", 1)
+            )
+        )
+
     def _resolve(self, geom):
         """(square_times, banded) for this geometry. Banded engages at the
         banded-measured split (pick_square_times_banded — e=0 under the
@@ -350,10 +362,12 @@ class RandomWalkRunner:
             sqb = rw_mod.pick_square_times_banded(self.exp_times)
             if self._use_banded(geom, sqb):
                 return sqb, True
-            if self._mesh_banded(geom, sqb):
-                # halo-exchange sharded path engages (propagate's
-                # mesh_banded branch / the chunk programs' mesh_banded
-                # branch) at the banded split
+            if self._mesh_banded(geom, sqb) or (
+                sqb == 0 and self._mesh_diag(geom)
+            ):
+                # sharded path engages at the banded split: the
+                # column-sharded diagonal stencil when it fits (e=0
+                # default), else halo-exchange banded matmuls
                 return sqb, False
         sq = self._square_times(geom)
         return sq, self._use_banded(geom, sq)
@@ -407,15 +421,23 @@ class RandomWalkRunner:
             sq, banded = self._resolve(geom)
             n_apply = 1 << (self.exp_times - sq)
             band = rw_mod.band_halfwidth(geom) << sq
-            mesh_banded = (not banded) and self._mesh_banded(geom, sq)
             # e=0 + default impl: T stays in diagonal form (w, inv) — the
             # same f32-exact stencil the fused program uses, so chunked
-            # labels remain bit-equal to fused ones
+            # labels remain bit-equal to fused ones (single-device and
+            # mesh variants share the formulation)
+            mesh_diag = (
+                (not banded) and sq == 0 and self._mesh_diag(geom)
+            )
+            mesh_banded = (
+                (not banded)
+                and (not mesh_diag)
+                and self._mesh_banded(geom, sq)
+            )
             diag = banded and sq == 0 and rw_mod.diag_selected()
 
             @jax.jit
             def build_t(edge: jax.Array):
-                if diag:
+                if diag or mesh_diag:
                     return rw_mod.build_diag_operator(
                         geom, edge, beta=self.beta
                     )
@@ -441,6 +463,10 @@ class RandomWalkRunner:
                 if diag:
                     rw = rw_mod.apply_transition_diag(
                         geom, cam, edge, t, n_apply
+                    )
+                elif mesh_diag:
+                    rw = rw_mod.apply_transition_mesh_diag(
+                        geom, cam, edge, t, n_apply, mesh
                     )
                 elif banded:
                     rw = rw_mod.apply_transition_banded(

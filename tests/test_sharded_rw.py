@@ -204,3 +204,41 @@ def test_propagate_mesh_banded_matches_single_device(rng):
                          square_times=1, mesh=mesh)
     )
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_propagate_mesh_diag_matches_single_device(rng):
+    """The column-sharded diagonal stencil (the e=0 mesh default) against
+    the single-device stencil and the dense f32 schedule: halo ppermutes
+    + local shifted FMAs must reproduce apply_diag_chain exactly (same
+    adds, same order per output element)."""
+    from irn_tpu.ops import random_walk as rw_mod
+
+    geom = rw_mod.build_geometry(32, 32, radius=2)
+    mesh = mesh_mod.make_mesh(n_data=1, n_model=8)
+    assert rw_mod.diag_sharded_fits(geom, 8)
+    h4 = w4 = 28
+    edge = np.ones((32, 32), np.float32)
+    edge[:h4, :w4] = rng.random((h4, w4)).astype(np.float32)
+    cam = np.zeros((3, 32, 32), np.float32)
+    cam[:, :h4, :w4] = rng.random((3, h4, w4))
+
+    single = np.asarray(
+        rw_mod.propagate_diag(geom, cam, edge, beta=10, exp_times=3)
+    )
+    meshed = np.asarray(
+        rw_mod.propagate_mesh_diag(geom, cam, edge, 10, 3, mesh)
+    )
+    np.testing.assert_allclose(meshed, single, atol=1e-6, rtol=1e-6)
+
+    dense = np.asarray(
+        rw_mod.propagate(geom, cam, edge, beta=10, exp_times=3,
+                         square_times=0)
+    )
+    np.testing.assert_allclose(meshed, dense, atol=1e-5, rtol=1e-4)
+
+    # propagate() routes the mesh e=0 default through the stencil
+    routed = np.asarray(
+        rw_mod.propagate(geom, cam, edge, beta=10, exp_times=3,
+                         square_times=0, mesh=mesh)
+    )
+    np.testing.assert_array_equal(routed, meshed)
