@@ -128,8 +128,9 @@ def bench_make_sem_seg(rng):
     # adds ~20 ms/img HERE that is ~50 us on a co-located host. Measured
     # relay-inclusive figure for the record: 24.5 img/s (prefetch threads
     # don't help — the tunnel is one stream). K=3 seed rows = the classes
-    # present on a typical VOC image; the device program pads to its
-    # fixed 20-row bucket either way.
+    # present on a typical VOC image; the device program pads to the
+    # walker's 8-row bucket (the stencil's cost is linear in seed rows —
+    # 9.8 vs 17.1 ms/chain at 20 rows).
     imgs = []
     for _ in range(n_images):
         p = np.zeros((512, 512, 3), np.uint8)

@@ -281,6 +281,13 @@ class RandomWalkRunner:
     bucket at ~47% of the worst-case FLOPs."""
 
     BUCKET = 32
+    # Seed rows pad to this small bucket when they fit (else to n_rows):
+    # the e=0 diagonal stencil's cost is linear in seed rows above the
+    # 8-sublane f32 tile, and a VOC image carries 1-3 classes while
+    # n_rows is 20 — measured 9.8 vs 17.1 ms/chain at the production
+    # bucket (C=8 vs C=20, v5e-1). Two row shapes bound the per-geometry
+    # compile count at 2 (jax.jit retraces per cam shape).
+    ROW_BUCKET = 8
 
     def __init__(self, cfg: Config, n_seed_rows: int):
         import threading
@@ -569,7 +576,7 @@ class RandomWalkRunner:
                  h4: int, w4: int, size: Tuple[int, int], bg_thres: float,
                  device=None):
         """cam_rows: [K, h4, w4] seeds (K <= n_rows); edge [cap, cap] with
-        1.0 beyond extent. Returns (labels [4ch, 4cw] in 0..n_rows,
+        1.0 beyond extent. Returns (labels [4ch, 4cw] in 0..K,
         best [4ch, 4cw] per-pixel winning upsampled score — the row a
         pixel's label names is its argmax, so this carries every
         per-component max) at the selected bucket size.
@@ -584,8 +591,9 @@ class RandomWalkRunner:
         assert h4 <= ch and w4 <= cw, (h4, w4, ch, cw)
         # upload only the true K seed rows (K = classes present, typically
         # 1-3): through the relay transport ~1 MB/image of zero padding
-        # cost more than the walk's decode; the row pad to n_rows happens
-        # on device (a trivial per-K program)
+        # cost more than the walk's decode; the row pad to the row bucket
+        # (ROW_BUCKET or n_rows) happens on device (a trivial per-K
+        # program)
         cam = np.zeros((k, ch, cw), np.float32)
         cam[:, :h4, :w4] = cam_rows
         cam_in = jnp.asarray(cam)
@@ -605,12 +613,17 @@ class RandomWalkRunner:
         )
         return labels, rw_up
 
+    def _row_bucket(self, k: int) -> int:
+        if k <= self.ROW_BUCKET < self.n_rows:
+            return self.ROW_BUCKET
+        return self.n_rows
+
     def _row_pad(self, k: int, ch: int, cw: int):
         key = ("row_pad", k, ch, cw)
         with self._lock:
             prog = self._programs.get(key)
             if prog is None:
-                pad = self.n_rows - k
+                pad = self._row_bucket(k) - k
                 prog = jax.jit(
                     lambda c: jnp.pad(c, ((0, pad), (0, 0), (0, 0)))
                 )

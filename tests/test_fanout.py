@@ -107,6 +107,31 @@ def test_walker_mesh_model_parity(rng):
     )
 
 
+def test_walker_row_bucket_matches_full_pad(rng):
+    """K <= ROW_BUCKET seeds run an 8-row program instead of the n_rows
+    one (the stencil's cost is linear in seed rows); padded zero rows are
+    inert through propagate + decode, so labels/scores are identical to
+    hand-padding the seeds to n_rows."""
+    cfg = Config(rw_grid_cap=16, exp_times=3, rw_radius=2)
+    walker = RandomWalkRunner(cfg, n_seed_rows=16)
+
+    h4, w4 = 14, 12
+    size = (54, 46)
+    edge = np.ones((16, 16), np.float32)
+    edge[:h4, :w4] = rng.random((h4, w4)).astype(np.float32)
+    cams = rng.random((3, h4, w4)).astype(np.float32)
+    assert walker._row_bucket(3) == walker.ROW_BUCKET < walker.n_rows
+
+    lb, rb = walker(cams, jnp.asarray(edge), h4, w4, size, 0.25)
+    full = np.zeros((16, h4, w4), np.float32)
+    full[:3] = cams
+    lf, rf = walker(full, jnp.asarray(edge), h4, w4, size, 0.25)
+    np.testing.assert_array_equal(np.asarray(lb), np.asarray(lf))
+    np.testing.assert_allclose(
+        np.asarray(rb), np.asarray(rf), atol=1e-6, rtol=1e-6
+    )
+
+
 def test_propagate_all_chunked_matches_fused(rng):
     """Uncapped seed rows: chunked streaming through a prebuilt T equals a
     single fused propagation of all rows (labels bit-equal)."""
