@@ -61,10 +61,13 @@ def main():
     ]
     n_rep = 8
     for label, b, h, w, c, f in shapes:
-        xs = [
-            jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.bfloat16)
-            for _ in range(n_rep)
-        ]
+        # generate inputs ON device (CLAUDE.md: GB-size uploads through the
+        # relay take minutes; these activations are ~190 MB each)
+        keys = jax.random.split(jax.random.PRNGKey(0), n_rep)
+        gen = jax.jit(
+            lambda kk: jax.random.normal(kk, (b, h, w, c), jnp.bfloat16)
+        )
+        xs = [gen(kk) for kk in keys]
         k = jnp.asarray(rng.standard_normal((3, 3, c, f)) * 0.05,
                         jnp.bfloat16)
         float(xs[-1].sum().astype(jnp.float32))
