@@ -36,13 +36,14 @@ def main():
     rng = np.random.default_rng(0)
 
     n_images = 8
+    n_passes = 2
     edges = [
         jnp.asarray(rng.random((cap_h, cap_w)).astype(np.float32) * 0.9)
-        for _ in range(n_images)
+        for _ in range(n_images * n_passes + 1)  # +1: dedicated warmup
     ]
     cams = [
         jnp.asarray(rng.random((20, cap_h, cap_w)).astype(np.float32))
-        for _ in range(n_images)
+        for _ in range(n_images * n_passes + 1)
     ]
 
     on_tpu = jax.default_backend() == "tpu"
@@ -70,15 +71,17 @@ def main():
         )
         return labels.sum()
 
-    # warm up / compile
-    float(run(cams[0], edges[0]))
+    # warm up / compile on the dedicated extra input (a timed pass must
+    # never re-execute it: the tunnel value-caches identical executions)
+    float(run(cams[-1], edges[-1]))
 
-    # best of 2 passes: a single pass through the shared relay can catch
-    # a transient backlog (CLAUDE.md tunnel methodology)
+    # best of 2 passes — a single pass through the shared relay can catch
+    # a transient backlog — over DISTINCT inputs per pass (the tunnel
+    # value-caches identical executions; CLAUDE.md methodology)
     dt = float("inf")
-    for _ in range(2):
+    for p in range(n_passes):
         t0 = time.time()
-        for i in range(n_images):
+        for i in range(p * n_images, (p + 1) * n_images):
             out = run(cams[i], edges[i])
         float(out)  # fetch forces completion through the device queue
         dt = min(dt, (time.time() - t0) / n_images)
@@ -135,14 +138,15 @@ def bench_make_sem_seg(rng):
     # present on a typical VOC image; the device program pads to the
     # walker's 8-row bucket (the stencil's cost is linear in seed rows —
     # 9.8 vs 17.1 ms/chain at 20 rows).
+    n_passes = 2
     imgs = []
-    for _ in range(n_images):
+    for _ in range(n_images * n_passes + 1):  # +1: dedicated warmup
         p = np.zeros((512, 512, 3), np.uint8)
         p[:375, :500] = (rng.random((375, 500, 3)) * 255).astype(np.uint8)
         imgs.append(jnp.asarray(p))
     cam_rows = [
         jnp.asarray(rng.random((3, 96, 128)).astype(np.float32))
-        for _ in range(n_images)
+        for _ in range(n_images * n_passes + 1)
     ]
     float(imgs[-1][0, 0, 0])
     float(cam_rows[-1][0, 0, 0])
@@ -158,11 +162,15 @@ def bench_make_sem_seg(rng):
         labels, _ = wprog(rpad(cam_rows[i]), edge[:96, :128], *wargs)
         return labels
 
-    float(one(0).sum())  # compile both programs (tunnel: fetch, not block)
+    # compile both programs on the dedicated warmup input (tunnel: fetch,
+    # not block; timed passes never re-execute it)
+    float(one(len(imgs) - 1).sum())
     best = 0.0
-    for _ in range(2):  # best of 2 (transient relay backlog)
+    # best of 2 passes over DISTINCT inputs (transient relay backlog;
+    # the tunnel value-caches identical executions)
+    for p in range(n_passes):
         t0 = time.time()
-        outs = [one(i) for i in range(n_images)]
+        outs = [one(i) for i in range(p * n_images, (p + 1) * n_images)]
         float(outs[-1].sum())  # fetch forces the queued chain
         best = max(best, n_images / (time.time() - t0))
     return best

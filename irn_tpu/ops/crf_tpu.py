@@ -57,8 +57,9 @@ def _sep_gauss(x: jax.Array, th: jax.Array, tw: jax.Array) -> jax.Array:
     (:func:`_toeplitz`). Single-channel depthwise convs leave the MXU idle
     on TPU (feature dim 1) — the dense banded matmul formulation runs the
     same math at matrix-unit rates."""
-    x = jnp.einsum("chw,wv->chv", x, tw)
-    return jnp.einsum("chw,hu->cuw", x, th)
+    hp = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("chw,wv->chv", x, tw, precision=hp)
+    return jnp.einsum("chw,hu->cuw", x, th, precision=hp)
 
 
 @functools.partial(
@@ -127,7 +128,10 @@ def crf_pair_program(
         k = jnp.exp(-0.5 * jnp.maximum(d2, 0.0)) * v_land[None, :]
         return k.astype(mdt), k.sum(1)
 
-    chunk = 4096 if n % 4096 == 0 else n
+    # largest divisor of n that is <= 4096 — never fall back to chunk=n
+    # (a non-64-multiple bucket would otherwise materialize the full
+    # [N, S] f32 intermediates this chunking exists to bound)
+    chunk = max(c for c in range(1, min(4096, n) + 1) if n % c == 0)
     k_land, d_b = jax.lax.map(build_chunk, f_n.reshape(-1, chunk, 5))
     k_land = k_land.reshape(n, -1)
     d_b = d_b.reshape(n)                                    # [N] f32

@@ -419,6 +419,13 @@ def apply_banded_chain(
     if bjk == 1 and bjk + 2 * kh < nkb:
         if impl is None:
             impl = os.environ.get("IRN_TPU_APPLY", "xla")
+            if impl == "diag":
+                # 'diag' (the documented default of this env var) selects
+                # the e=0 stencil in random_walk.diag_selected; for the
+                # e>0 matmul chains it means "default chain", i.e. xla —
+                # pinning IRN_TPU_APPLY=diag explicitly must not crash
+                # the rw_square_times>0 paths
+                impl = "xla"
         if impl == "pallas":
             return _apply_chain_packed(
                 x, t, h, n_apply, sdtype, bs, interpret

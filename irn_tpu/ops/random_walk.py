@@ -642,6 +642,14 @@ def propagate_banded_batch(
     if not 0 <= e <= exp_times:
         raise ValueError(f"square_times={e} not in [0, {exp_times}]")
     bimg = cams_capped.shape[0]
+    if e == 0 and diag_selected():
+        # match propagate_banded's e=0 dispatch: the f32-exact diagonal
+        # stencil, vmapped over the batch (otherwise the batch path would
+        # silently run the bf16 matmul chain and diverge from the
+        # per-image labels this docstring promises)
+        return jax.vmap(
+            lambda c, ed: propagate_diag(geom, c, ed, beta, exp_times)
+        )(cams_capped, edges_capped)
     if not banded_fits(geom, exp_times, e, bs):
         return jnp.stack([
             propagate(geom, cams_capped[b], edges_capped[b], beta,

@@ -85,8 +85,18 @@ def resize_bilinear_dynamic(
 
     wy = wmat(y0, y1, fy, src.shape[-2])            # [out_h, src_h]
     wx = wmat(x0, x1, fx, src.shape[-1])            # [out_w, src_w]
-    rows = jnp.einsum("uh,...hw->...uw", wy, src)
-    out = jnp.einsum("vw,...uw->...uv", wx, rows)
+    # f32 sources interpolate at HIGHEST so the matmul formulation stays
+    # exact like the gather/lerp it replaced (TPU DEFAULT would compute
+    # f32 operands in bf16 — a silent fidelity downgrade in f32 runs).
+    # bf16 sources keep DEFAULT: the taps are already bf16-valued, and
+    # the ~2^-8 weight rounding is the same order as the mode's own
+    # model error (HIGHEST would triple the resize cost for nothing).
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if src.dtype == jnp.float32 else None
+    )
+    rows = jnp.einsum("uh,...hw->...uw", wy, src, precision=prec)
+    out = jnp.einsum("vw,...uw->...uv", wx, rows, precision=prec)
 
     oy = jax.lax.broadcasted_iota(jnp.int32, out_cap, 0)
     ox = jax.lax.broadcasted_iota(jnp.int32, out_cap, 1)

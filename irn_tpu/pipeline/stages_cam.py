@@ -426,7 +426,7 @@ def cam_to_ir_label(cfg: Config) -> None:
             stride=cfg.crf_landmark_stride, t=cfg.crf_iters,
             pad_multiple=cfg.pad_multiple,
         )
-        refine = functools.partial(device_crf.pair)
+        refine = device_crf.pair  # t is already bound via LandmarkCRF(t=)
     else:
         device_crf = None
         refine = functools.partial(

@@ -56,15 +56,19 @@ def main():
 
     h, w = args.size
     rng = np.random.default_rng(0)
-    imgs = [synth_image(rng, h, w) for _ in range(args.n)]
-    seeds = [seed_labels(rng, h, w, 6) for _ in range(args.n)]
+    # chunk 0 warms/compiles and feeds the agreement check; each timed rep
+    # r uses its own chunk r+1 — the tunnel value-caches identical
+    # executions, so a rep must never replay another pass's inputs
+    n_total = args.n * (args.reps + 1)
+    imgs = [synth_image(rng, h, w) for _ in range(n_total)]
+    seeds = [seed_labels(rng, h, w, 6) for _ in range(n_total)]
 
     native_ok = native.load() is not None
     if native_ok:
         t0 = time.perf_counter()
         refs = [
             crf.crf_inference_label_pair(im, la, lb, t=10, n_labels=6)
-            for im, (la, lb) in zip(imgs, seeds)
+            for im, (la, lb) in zip(imgs[: args.n], seeds[: args.n])
         ]
         t_native = (time.perf_counter() - t0) / args.n
         print(f"native lattice pair: {t_native*1000:7.1f} ms/img", flush=True)
@@ -72,17 +76,19 @@ def main():
     for stride in args.strides:
         dev = crf_tpu.LandmarkCRF(stride=stride)
 
-        def pass_once():
+        def pass_once(chunk):
             outs = []
-            for im, (la, lb) in zip(imgs, seeds):
+            lo = chunk * args.n
+            for im, (la, lb) in zip(imgs[lo:lo + args.n],
+                                    seeds[lo:lo + args.n]):
                 outs.append(dev.pair(im, la, lb, n_labels=6))
             return outs
 
-        outs = pass_once()  # compile + warm; host round-trips included
+        outs = pass_once(0)  # compile + warm; host round-trips included
         best = float("inf")
-        for _ in range(args.reps):
+        for r in range(args.reps):
             t0 = time.perf_counter()
-            pass_once()
+            pass_once(r + 1)
             best = min(best, (time.perf_counter() - t0) / args.n)
 
         # device-side steady state: pre-uploaded inputs, all programs
@@ -90,7 +96,7 @@ def main():
         # pipelined stage (I/O threads overlapping device steps) sees
         ph, pw = dev._bucket(h, w)
         dev_in = []
-        for im, (la, lb) in zip(imgs, seeds):
+        for im, (la, lb) in zip(imgs, seeds):  # all chunks
             imgp = np.zeros((ph, pw, 3), np.uint8)
             imgp[:h, :w] = im
             lap = np.zeros((ph, pw), np.int32)
@@ -99,9 +105,10 @@ def main():
             lbp[:h, :w] = lb
             dev_in.append(tuple(jnp.asarray(x) for x in (imgp, lap, lbp)))
 
-        def pass_dev():
+        def pass_dev(chunk):
             sums = []
-            for im, la_, lb_ in dev_in:
+            lo = chunk * args.n
+            for im, la_, lb_ in dev_in[lo:lo + args.n]:
                 out = crf_tpu.crf_pair_program(
                     im, la_, lb_, jnp.int32(h), jnp.int32(w), jnp.int32(6),
                     jnp.float32(0.7), hw=(ph, pw), stride=stride,
@@ -109,11 +116,11 @@ def main():
                 sums.append(jnp.sum(out.astype(jnp.int32)))
             return float(sums[-1] + 0 * sums[0])
 
-        pass_dev()
+        pass_dev(0)
         best_dev = float("inf")
-        for _ in range(args.reps):
+        for r in range(args.reps):
             t0 = time.perf_counter()
-            pass_dev()
+            pass_dev(r + 1)
             best_dev = min(best_dev, (time.perf_counter() - t0) / args.n)
 
         line = (
