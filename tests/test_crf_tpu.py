@@ -114,6 +114,24 @@ def test_landmark_crf_bucket_invariance(rng):
     )
 
 
+def test_landmark_crf_odd_bucket_chunking(rng):
+    """A bucket whose pixel count is not a 4096-multiple must still run
+    the chunked kernel build (largest divisor <= 4096) and match a
+    4096-aligned bucket bit-for-bit — the old fallback materialized the
+    full [N, S] intermediates (an OOM at real sizes, found by review)."""
+    img, labels = _scene(rng, 90, 100)
+    odd = crf_tpu.LandmarkCRF(stride=4, pad_multiple=24,
+                              matmul_dtype="float32")
+    # 24-multiple bucket of a 90x100 scene: 96x120 = 11520 px — not a
+    # 4096-multiple, largest divisor <= 4096 is 3840 => 3 real chunks
+    aligned = crf_tpu.LandmarkCRF(stride=4, pad_multiple=64,
+                                  matmul_dtype="float32")
+    np.testing.assert_array_equal(
+        odd.single(img, labels, n_labels=21),
+        aligned.single(img, labels, n_labels=21),
+    )
+
+
 def test_ir_label_stage_backend_ab(tmp_path, rng):
     """Stage-level A/B (VERDICT r2 #2): cam_to_ir_label with
     crf_backend='tpu' vs 'native' over a synthetic tree — the decisive
