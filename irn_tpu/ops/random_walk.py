@@ -464,15 +464,13 @@ def propagate_mesh_diag(
     """Mesh (long-context) variant of :func:`propagate_diag`: the seed
     columns shard over the model axis and each of the 2^E applications
     exchanges only the stencil halo over ICI. Same f32-exact results as
-    the single-device stencil."""
-    from irn_tpu.parallel import rw_sharded
-
-    w, inv = build_diag_operator(geom, edge_capped, beta)
-    seeds = _flat_seeds(geom, cam_capped, edge_capped)
-    rw = rw_sharded.diag_apply_in_jit(
-        seeds, w, inv, diag_offsets(geom), 1 << exp_times, mesh
+    the single-device stencil. Composes the chunk-reusable application
+    exactly like :func:`propagate_diag` does, so the fused and chunked
+    paths cannot drift apart."""
+    return apply_transition_mesh_diag(
+        geom, cam_capped, edge_capped,
+        build_diag_operator(geom, edge_capped, beta), 1 << exp_times, mesh,
     )
-    return _unflatten_rw(geom, rw)
 
 
 def apply_transition_mesh_diag(

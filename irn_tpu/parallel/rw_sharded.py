@@ -317,12 +317,14 @@ def diag_apply_in_jit(
     def body(x_loc, w_rep, inv_rep):
         idx = jax.lax.axis_index(MODEL_AXIS)
         c0 = idx * n_loc
-        # per-device slices of the replicated operator, halo-extended for
-        # the upper-band terms (w[k, c-d]); ppermute's unmatched edges
-        # and the pad zeros implement the matrix-border zero fill
+        # per-device slices of the replicated operator, halo-extended on
+        # the LEFT only for the upper-band terms (w[k, c-d] reads indices
+        # [0, hh-1+n_loc); the lower-band terms read w_loc, so no right
+        # halo is ever touched); ppermute's unmatched edges and the pad
+        # zeros implement the matrix-border zero fill
         w_ext = jax.lax.dynamic_slice(
-            jnp.pad(w_rep, ((0, 0), (hh, hh))), (jnp.int32(0), c0),
-            (w_rep.shape[0], n_loc + 2 * hh),
+            jnp.pad(w_rep, ((0, 0), (hh, 0))), (jnp.int32(0), c0),
+            (w_rep.shape[0], n_loc + hh),
         )
         w_loc = w_ext[:, hh : hh + n_loc]
         inv_loc = jax.lax.dynamic_slice(inv_rep, (c0,), (n_loc,))

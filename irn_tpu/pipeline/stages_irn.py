@@ -343,11 +343,14 @@ class RandomWalkRunner:
             )
         )
 
-    def _mesh_diag(self, geom) -> bool:
+    def _mesh_diag(self, geom, sq: int) -> bool:
         """Column-sharded diagonal stencil (mesh analogue of the e=0
-        production default)."""
+        production default). The stencil applies T itself, so it is only
+        valid at sq == 0 — the guard lives here so no call site can
+        forget it."""
         return (
-            self.mesh is not None
+            sq == 0
+            and self.mesh is not None
             and self.banded_cfg
             and rw_mod.diag_selected()
             and rw_mod.diag_sharded_fits(
@@ -369,9 +372,7 @@ class RandomWalkRunner:
             sqb = rw_mod.pick_square_times_banded(self.exp_times)
             if self._use_banded(geom, sqb):
                 return sqb, True
-            if self._mesh_banded(geom, sqb) or (
-                sqb == 0 and self._mesh_diag(geom)
-            ):
+            if self._mesh_banded(geom, sqb) or self._mesh_diag(geom, sqb):
                 # sharded path engages at the banded split: the
                 # column-sharded diagonal stencil when it fits (e=0
                 # default), else halo-exchange banded matmuls
@@ -432,9 +433,7 @@ class RandomWalkRunner:
             # same f32-exact stencil the fused program uses, so chunked
             # labels remain bit-equal to fused ones (single-device and
             # mesh variants share the formulation)
-            mesh_diag = (
-                (not banded) and sq == 0 and self._mesh_diag(geom)
-            )
+            mesh_diag = (not banded) and self._mesh_diag(geom, sq)
             mesh_banded = (
                 (not banded)
                 and (not mesh_diag)

@@ -380,3 +380,18 @@ def test_batched_apply_chain_matches_per_image(rng):
             square_times=1, bs=128, interpret=True,
         ))
         np.testing.assert_array_equal(got_b[b], want, err_msg=str(b))
+
+    # square_times=0 (the production default split): the batch path must
+    # dispatch to the vmapped f32 diagonal stencil like propagate_banded
+    # does per image, not silently run the bf16 matmul chain (found by
+    # review; the dispatch lives in propagate_banded_batch)
+    got_0 = np.asarray(rw_mod.propagate_banded_batch(
+        geom, jnp.asarray(cams), jnp.asarray(edges), beta=10, exp_times=3,
+        square_times=0, bs=128, interpret=True,
+    ))
+    for b in range(bimg):
+        want = np.asarray(rw_mod.propagate_banded(
+            geom, cams[b], edges[b], beta=10, exp_times=3,
+            square_times=0, bs=128, interpret=True,
+        ))
+        np.testing.assert_array_equal(got_0[b], want, err_msg=str(b))

@@ -181,6 +181,37 @@ def test_chunked_walker_mesh_banded_matches_single_device(rng):
     )
 
 
+def test_chunked_walker_mesh_diag_matches_single_device(rng):
+    """The chunked mesh-diag branch (make_ins_seg in rw_mesh_model mode
+    at the e=0 production default — square_times unset): T stays in
+    diagonal (w, inv) form, chunks stream through the column-sharded
+    stencil, and labels equal the single-device walker."""
+    import jax.numpy as jnp2
+
+    from irn_tpu.ops import random_walk as rw_mod
+    from irn_tpu.pipeline.config import Config
+    from irn_tpu.pipeline.stages_irn import RandomWalkRunner
+
+    base = dict(rw_grid_cap=32, exp_times=3, rw_radius=2)  # default split
+    w1 = RandomWalkRunner(Config(**base), n_seed_rows=4)
+    w8 = RandomWalkRunner(Config(rw_mesh_model=8, **base), n_seed_rows=4)
+    geom = rw_mod.build_geometry(32, 32, radius=2)
+    assert w8._mesh_diag(geom, 0)  # the branch under test engages
+
+    h4 = w4 = 28
+    size = (110, 106)
+    edge = np.ones((32, 32), np.float32)
+    edge[:h4, :w4] = rng.random((h4, w4)).astype(np.float32)
+    seeds = rng.random((10, h4, w4)).astype(np.float32)  # 10 > 4 chunks
+
+    l1, b1 = w1.propagate_all(seeds, jnp2.asarray(edge), h4, w4, size, 0.25)
+    l8, b8 = w8.propagate_all(seeds, jnp2.asarray(edge), h4, w4, size, 0.25)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l8))
+    np.testing.assert_allclose(
+        np.asarray(b8), np.asarray(b1), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_propagate_mesh_banded_matches_single_device(rng):
     """rw_mod.propagate's halo-exchange mesh path (mesh_banded) against
     the single-device computation at the same square_times."""
