@@ -15,12 +15,14 @@ _LIB_NAME = "libirn_native.so"
 
 
 def _candidate_paths():
-    here = os.path.dirname(os.path.abspath(__file__))
-    repo = os.path.dirname(os.path.dirname(here))
-    yield os.path.join(repo, "native", _LIB_NAME)
+    # the explicit override must win over the in-repo build (it used to
+    # be yielded second, where the repo path always shadowed it)
     env = os.environ.get("IRN_TPU_NATIVE_LIB")
     if env:
         yield env
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(os.path.dirname(here))
+    yield os.path.join(repo, "native", _LIB_NAME)
 
 
 @functools.lru_cache(maxsize=1)
