@@ -78,6 +78,15 @@ class BatchLoader:
         n = len(self.indices)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the next iteration's (shuffle, augmentation) RNG stream.
+
+        The train stages call this with the true epoch number each epoch
+        so a mid-training resume continues the stream where it left off
+        instead of replaying epoch 0's order/draws (and so the one-batch
+        BN-calibration draw doesn't shift every later epoch's stream)."""
+        self._epoch = int(epoch)
+
     def _epoch_indices(self) -> np.ndarray:
         idx = self.indices.copy()
         if self.shuffle:
@@ -103,14 +112,35 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_interruptible(item) -> bool:
+            # q.put must not block forever: an abandoned iterator (e.g. a
+            # single next() for BN calibration) sets `stop` from the
+            # consumer's finally, and a producer parked in a blocking put
+            # would leak the thread + pool + queued batches for the
+            # process lifetime
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, b))
-                    q.put(collate(samples))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(
+                            pool.map(self.dataset.__getitem__, b)
+                        )
+                        if not put_interruptible(collate(samples)):
+                            return
+                sentinel = None
+            except BaseException as exc:  # forward, don't hang the consumer
+                sentinel = exc
+            put_interruptible(sentinel)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -119,6 +149,10 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    # a worker failure (corrupt image, IO error) must fail
+                    # the training loop, not silently block it forever
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -49,6 +49,23 @@ def load_img_name_list(path: str) -> List[str]:
         return [ln.strip() for ln in f if ln.strip()]
 
 
+def read_label_png(path: str) -> np.ndarray:
+    """Label PNG -> integer index plane.
+
+    VOC ground-truth segmentation PNGs (SegmentationClass /
+    SegmentationObject) are palette-mode ('P'); ``imageio.imread``
+    expands those to an (H, W, 3) array of palette COLORS, which
+    silently breaks confusion accumulation on real VOC data (found by
+    review — the synthetic test trees write grayscale PNGs, which both
+    readers handle identically). PIL keeps the index plane, matching
+    the chainercv readers the eval stages replace
+    (/root/reference/step/eval_cam.py:12-13)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im)
+
+
 def load_image_label_from_xml(img_name: str, voc12_root: str) -> np.ndarray:
     from xml.dom import minidom
 
@@ -228,9 +245,10 @@ class SegmentationDataset(EpochSeeded):
         name = self.img_name_list[idx]
         rng = self.sample_rng(idx)
         img = _as_rgb(np.asarray(imageio.imread(get_img_path(name, self.voc12_root))))
-        label = np.asarray(
-            imageio.imread(os.path.join(self.label_dir, name + ".png"))
-        )
+        # read_label_png: identical for the pipeline's own grayscale
+        # ir_label files, and keeps the index plane if label_dir points
+        # at VOC's palette-mode ground truth (supervised experiments)
+        label = read_label_png(os.path.join(self.label_dir, name + ".png"))
         if self.rescale:
             img, label = T.random_scale((img, label), self.rescale, (3, 0),
                                         rng=rng)

@@ -119,8 +119,13 @@ def train_cam(cfg: Config) -> None:
     prof = StageProfiler(cfg.profile_dir, "train_cam")
     meter = DeviceMeter()
     timer = Timer()
+    steps_per_epoch = len(train_dl)
     for ep in range(start_epoch, cfg.cam_num_epoches):
         print(f"Epoch {ep + 1}/{cfg.cam_num_epoches}")
+        # pin the loader's RNG stream to the true epoch: resumed runs
+        # continue the shuffle/augmentation sequence instead of
+        # replaying epoch 0 (found by review)
+        train_dl.set_epoch(ep)
         for it, batch in enumerate(train_dl):
             sb = mesh_mod.shard_batch(
                 {"img": batch["img"], "label": np.stack(batch["label"])}, mesh
@@ -128,7 +133,10 @@ def train_cam(cfg: Config) -> None:
             state, metrics = step_fn(state, sb["img"], sb["label"])
             prof.tick()
             meter.add({"loss1": metrics["loss"]})
-            gstep = int(state.step)
+            # host-side step counter: int(state.step) is a device value
+            # fetch that forces execution every iteration (DeviceMeter
+            # exists to defer exactly that to the log interval)
+            gstep = ep * steps_per_epoch + it + 1
             if (gstep - 1) % 100 == 0:
                 timer.update_progress(gstep / max_step)
                 print(
@@ -377,10 +385,8 @@ def eval_cam(cfg: Config, sweep: bool = False):
         d = np.load(
             os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True
         ).item()
-        gt = np.asarray(
-            imageio.imread(
-                os.path.join(cfg.voc12_root, "SegmentationClass", name + ".png")
-            )
+        gt = voc12.read_label_png(
+            os.path.join(cfg.voc12_root, "SegmentationClass", name + ".png")
         )
         keys = np.asarray(d["keys"])
         for t in thresholds:
@@ -438,11 +444,13 @@ def cam_to_ir_label(cfg: Config) -> None:
         native_mod.set_num_threads(max(1, (os.cpu_count() or 1) // n_pool))
 
     def work(i: int):
-        sample = ds[i]
-        name = sample["name"]
+        # idempotent skip BEFORE decoding: resuming a partial run must
+        # not pay a JPEG decode per already-finished image
+        name = ds.img_name_list[i]
         out_path = os.path.join(cfg.ir_label_out_dir, name + ".png")
         if not cfg.overwrite and os.path.exists(out_path):
             return
+        sample = ds[i]
         img = sample["img"].astype(np.uint8)
         cam_dict = np.load(
             os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 
-import imageio.v2 as imageio
 import numpy as np
 
 from irn_tpu.data import voc12
@@ -35,14 +34,12 @@ def eval_sem_seg(cfg: Config):
     # streaming: one pred/gt pair resident at a time (peak RSS ~one image)
     conf = np.zeros((21, 21), np.int64)
     for name in names:
-        pred = np.asarray(
-            imageio.imread(os.path.join(cfg.sem_seg_out_dir, name + ".png"))
+        pred = voc12.read_label_png(
+            os.path.join(cfg.sem_seg_out_dir, name + ".png")
         ).astype(np.int64)
         pred[pred == 255] = 0  # eval_sem_seg.py:15
-        gt = np.asarray(
-            imageio.imread(
-                os.path.join(cfg.voc12_root, "SegmentationClass", name + ".png")
-            )
+        gt = voc12.read_label_png(
+            os.path.join(cfg.voc12_root, "SegmentationClass", name + ".png")
         )
         semseg.accumulate_confusion(conf, pred, gt)
     scores = semseg.scores_from_confusion(conf)
@@ -63,18 +60,14 @@ def eval_ins_seg(cfg: Config):
                 os.path.join(cfg.ins_seg_out_dir, name + ".npy"),
                 allow_pickle=True,
             ).item()
-            obj = np.asarray(
-                imageio.imread(
-                    os.path.join(
-                        cfg.voc12_root, "SegmentationObject", name + ".png"
-                    )
+            obj = voc12.read_label_png(
+                os.path.join(
+                    cfg.voc12_root, "SegmentationObject", name + ".png"
                 )
             )
-            cls = np.asarray(
-                imageio.imread(
-                    os.path.join(
-                        cfg.voc12_root, "SegmentationClass", name + ".png"
-                    )
+            cls = voc12.read_label_png(
+                os.path.join(
+                    cfg.voc12_root, "SegmentationClass", name + ".png"
                 )
             )
             masks, labels = insseg.load_voc_instance_gt(obj, cls)

@@ -85,8 +85,12 @@ def train_irn(cfg: Config) -> None:
     prof = StageProfiler(cfg.profile_dir, "train_irn")
     meter = DeviceMeter()
     timer = Timer()
+    steps_per_epoch = len(dl)
     for ep in range(start_epoch, cfg.irn_num_epoches):
         print(f"Epoch {ep + 1}/{cfg.irn_num_epoches}")
+        # pin the loader's RNG stream to the true epoch so a resumed run
+        # continues the shuffle/augmentation sequence (found by review)
+        dl.set_epoch(ep)
         for it, batch in enumerate(dl):
             sb = mesh_mod.shard_batch(
                 {"img": batch["img"], "red": batch["reduced_label"]}, mesh
@@ -94,7 +98,9 @@ def train_irn(cfg: Config) -> None:
             state, metrics = step_fn(state, sb["img"], sb["red"])
             prof.tick()
             meter.add(metrics)
-            gstep = int(state.step)
+            # host-side counter: int(state.step) would fetch a device
+            # value (forcing execution) every iteration
+            gstep = ep * steps_per_epoch + it + 1
             if (gstep - 1) % 50 == 0:
                 timer.update_progress(gstep / max_step)
                 print(

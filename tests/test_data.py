@@ -88,6 +88,71 @@ def test_batch_loader(voc_root):
     np.testing.assert_allclose(batches[0]["img"], again[0]["img"])
 
 
+def test_batch_loader_propagates_worker_errors():
+    """A dataset failure in the producer thread must raise in the
+    consumer, not leave it blocked on the queue forever (the sentinel
+    used to be skipped when pool.map re-raised — found by review)."""
+    import pytest
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise ValueError("corrupt image")
+            return {"x": np.zeros(2, np.float32)}
+
+    dl = loader_mod.BatchLoader(Bad(), batch_size=4, shuffle=False,
+                                num_workers=2)
+    with pytest.raises(ValueError, match="corrupt image"):
+        list(dl)
+
+
+def test_batch_loader_set_epoch_aligns_stream():
+    """set_epoch(k) reproduces the shuffle order a fresh loader reaches
+    after k natural epochs (the mid-training resume contract)."""
+
+    class Ident:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return {"i": np.int64(i)}
+
+    def orders(dl, n):
+        return [[int(v) for b in dl for v in b["i"]] for _ in range(n)]
+
+    natural = orders(
+        loader_mod.BatchLoader(Ident(), 4, shuffle=True, seed=3), 3
+    )
+    resumed = loader_mod.BatchLoader(Ident(), 4, shuffle=True, seed=3)
+    resumed.set_epoch(2)
+    assert orders(resumed, 1)[0] == natural[2]
+
+
+def test_read_label_png_palette_mode(tmp_path):
+    """VOC ground-truth segmentation PNGs are palette-mode ('P');
+    read_label_png must return the index plane (imageio expands palette
+    PNGs to RGB colors, which broke eval on real VOC — found by
+    review)."""
+    from PIL import Image
+
+    idx = (np.arange(30, dtype=np.uint8).reshape(5, 6) % 21)
+    im = Image.fromarray(idx, mode="P")
+    im.putpalette(bytes((i * 37) % 256 for i in range(768)))
+    p = str(tmp_path / "gt.png")
+    im.save(p)
+    got = voc12.read_label_png(p)
+    np.testing.assert_array_equal(got, idx)
+    # grayscale files (the pipeline's own artifacts) read identically
+    import imageio.v2 as imageio
+
+    g = str(tmp_path / "own.png")
+    imageio.imwrite(g, idx)
+    np.testing.assert_array_equal(voc12.read_label_png(g), idx)
+
+
 def test_loader_reproducible_any_worker_count(voc_root):
     """Per-sample (seed, epoch, idx) RNG derivation: augmented batches are
     identical for any num_workers, and fresh each epoch."""
