@@ -2,10 +2,11 @@
 
 Replaces pycococreatortools (step/make_cocoann.py): builds image records
 and annotations from the ins_seg stage outputs. Segmentations default to
-polygons traced from the masks (the reference's format —
-pycococreatortools ``create_annotation_info(..., tolerance=2)``,
-step/make_cocoann.py:38-46); uncompressed COCO RLE is available via
-``segmentation_format="rle"`` for consumers that prefer lossless masks."""
+polygons traced from the masks with tolerance=0 (the reference's call —
+pycococreatortools ``create_annotation_info(..., tolerance=0)``,
+step/make_cocoann.py:43-44 — performs no contour simplification);
+uncompressed COCO RLE is available via ``segmentation_format="rle"`` for
+consumers that prefer lossless masks."""
 
 from __future__ import annotations
 
@@ -72,12 +73,18 @@ def mask_bbox(mask: np.ndarray) -> List[float]:
 def annotation_info(ann_id: int, image_id: int, category_id: int,
                     mask: np.ndarray, score: float | None = None,
                     segmentation_format: str = "polygon",
-                    tolerance: float = 2.0) -> Dict | None:
+                    tolerance: float = 0.0) -> Dict | None:
+    """tolerance=0 matches the reference exactly (make_cocoann.py:44
+    passes tolerance=0 — no Douglas-Peucker simplification of the mask
+    contours; pass >0 to opt into smaller jsons)."""
     if segmentation_format == "polygon":
         seg = binary_mask_to_polygons(mask, tolerance)
         if not seg:
-            # pycococreatortools returns None for untraceable masks and
-            # make_cocoann skips them
+            # pycococreatortools returns None for untraceable masks; the
+            # reference appends that None verbatim (a null entry in the
+            # json, make_cocoann.py:42-45) — we skip instead, a
+            # deliberate divergence (null annotations break COCO
+            # consumers)
             return None
     else:
         seg = rle_encode(mask)
@@ -113,6 +120,7 @@ def export_instances(
     out_path: str,
     score_floor: float = 1e-5,
     segmentation_format: str = "polygon",
+    tolerance: float = 0.0,
 ) -> Dict:
     """Write a COCO json from per-image instance records.
 
@@ -136,6 +144,7 @@ def export_instances(
             ann = annotation_info(
                 ann_id, img_id, int(cls) + 1, mask, float(score),
                 segmentation_format=segmentation_format,
+                tolerance=tolerance,
             )
             if ann is None:
                 continue

@@ -96,11 +96,18 @@ def load_voc_instance_gt(seg_obj_png: np.ndarray, seg_cls_png: np.ndarray):
     """(masks [R, H, W] bool, labels [R] 0-based classes) from VOC
     SegmentationObject + SegmentationClass pngs (255 = void)."""
     ids = [i for i in np.unique(seg_obj_png) if i not in (0, 255)]
-    masks = np.stack([seg_obj_png == i for i in ids]) if ids else \
-        np.zeros((0,) + seg_obj_png.shape, bool)
-    labels = []
+    masks, labels = [], []
     for i in ids:
         vals, counts = np.unique(seg_cls_png[seg_obj_png == i], return_counts=True)
         keep = [(v, c) for v, c in zip(vals, counts) if v not in (0, 255)]
-        labels.append(int(max(keep, key=lambda t: t[1])[0]) - 1 if keep else 0)
-    return masks, np.asarray(labels, np.int64)
+        if not keep:
+            # instance entirely background/void in SegmentationClass —
+            # dropping it is correct; the old 'else 0' fallback labeled
+            # it aeroplane, inflating n_pos[0] with an unmatchable mask
+            # and deflating that class's AP (found by review)
+            continue
+        masks.append(seg_obj_png == i)
+        labels.append(int(max(keep, key=lambda t: t[1])[0]) - 1)
+    stacked = (np.stack(masks) if masks
+               else np.zeros((0,) + seg_obj_png.shape, bool))
+    return stacked, np.asarray(labels, np.int64)

@@ -16,7 +16,11 @@ import numpy as np
 def confusion_matrix(
     preds: Iterable[np.ndarray], gts: Iterable[np.ndarray], ignore: int = 255
 ) -> np.ndarray:
-    """Accumulate confusion over image pairs; matrix grows to fit labels."""
+    """Accumulate confusion over image pairs; matrix grows to fit labels.
+
+    Negative predictions (chainercv's -1 void convention) are excluded
+    like void gt — np.add.at would otherwise silently wrap them into the
+    last column (chainercv's bincount raises on negatives)."""
     n = 1
     conf = np.zeros((n, n), np.int64)
     for pred, gt in zip(preds, gts):
@@ -24,7 +28,7 @@ def confusion_matrix(
         gt = np.asarray(gt).reshape(-1).astype(np.int64)
         if pred.shape != gt.shape:
             raise ValueError("pred/gt shape mismatch")
-        valid = (gt >= 0) & (gt != ignore)
+        valid = (gt >= 0) & (gt != ignore) & (pred >= 0)
         pred = pred[valid]
         gt = gt[valid]
         m = int(max(pred.max(initial=0), gt.max(initial=0))) + 1
@@ -66,12 +70,12 @@ def iou_from_confusion(conf: np.ndarray) -> np.ndarray:
 
 
 def scores_from_confusion(conf: np.ndarray) -> Dict:
-    iou = iou_from_confusion(conf)
     gtj = conf.sum(axis=1)
     resj = conf.sum(axis=0)
     diag = np.diag(conf)
     denom = gtj + resj - diag
     with np.errstate(divide="ignore", invalid="ignore"):
+        iou = diag / denom
         fp = 1.0 - gtj / denom
         fn = 1.0 - resj / denom
     return {

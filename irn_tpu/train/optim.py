@@ -96,12 +96,30 @@ def sgdr_schedule(base_lr: float, steps_per_epoch: int, epoch_start: int = 1,
 
     c0 = steps_per_epoch * epoch_start
     m = restart_mult
-    # exact integer cycle boundaries, capped inside int32 (x64 is disabled
-    # by default, so boundaries must not overflow when traced)
+
+    if m == 1:
+        # constant cycle length: closed form, restarts forever (the
+        # precomputed-table path used to stop restarting after its 64th
+        # entry and run the cosine past pi — found by review)
+        def schedule(step):
+            import jax.numpy as jnp
+
+            step = jnp.asarray(step)
+            k = step // c0
+            local = step - k * c0
+            mult = (1 + jnp.cos(jnp.pi * local / c0)) / 2
+            return base_lr * mult / (k + 1)
+
+        return schedule
+
+    # m >= 2: exact integer cycle boundaries, capped inside int32 (x64 is
+    # disabled by default, so boundaries must not overflow when traced).
+    # Lengths grow geometrically, so the boundaries pass 2^30 within ~31
+    # entries — the table can never be exhausted by a reachable step.
     limit = 2**30
     starts_l = [0]
     lengths_l = [c0]
-    while starts_l[-1] + lengths_l[-1] < limit and len(starts_l) < 64:
+    while starts_l[-1] + lengths_l[-1] < limit:
         starts_l.append(starts_l[-1] + lengths_l[-1])
         lengths_l.append(lengths_l[-1] * m)
     starts = np.asarray(starts_l, np.int32)
@@ -125,9 +143,16 @@ def sgdr(base_lr: float, steps_per_epoch: int, epoch_start: int = 1,
          restart_mult: int = 2, weight_decay: float = 0.0,
          mult_fn: Optional[Callable[[tuple], float]] = None
          ) -> optax.GradientTransformation:
+    """Reference-faithful SGDR: like PolyOptimizer, SGDROptimizer's
+    constructor passes weight_decay into torch SGD's *momentum*
+    positional (torchutils.py:36) — and unlike the Poly train stages, no
+    per-group dicts ever restore real decay (the optimizer is unused by
+    the pipeline). The effective reference behavior for ``weight_decay``
+    is therefore stray momentum and ZERO decayed weights, reproduced
+    here."""
     parts = []
     if weight_decay:
-        parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(optax.trace(decay=weight_decay))
     if mult_fn is not None:
         parts.append(scale_by_path(mult_fn))
     parts.append(optax.scale_by_schedule(

@@ -150,6 +150,39 @@ def test_poly_schedule():
     assert float(sched(100)) == float(sched(99))
 
 
+def test_sgdr_schedule_matches_reference_restart_loop():
+    """sgdr_schedule == the reference SGDROptimizer's literal restart
+    bookkeeping (torchutils.py:49-62) for both the geometric cycles and
+    restart_mult=1, which must keep restarting forever (the precomputed
+    table used to stop after its last entry and run the cosine past pi —
+    found by review)."""
+    import math
+
+    def ref_lr_seq(base, spe, epoch_start, m, steps):
+        max_step = spe * epoch_start
+        local = total_restart = 0
+        out = []
+        for _ in range(steps):
+            if local >= max_step:
+                local = 0
+                max_step *= m
+                total_restart += 1
+            out.append(
+                base * (1 + math.cos(math.pi * local / max_step)) / 2
+                / (total_restart + 1)
+            )
+            local += 1
+        return out
+
+    for m in (1, 2):
+        sched = optim.sgdr_schedule(0.1, steps_per_epoch=5, epoch_start=1,
+                                    restart_mult=m)
+        want = ref_lr_seq(0.1, 5, 1, m, 40)
+        got = [float(sched(s)) for s in range(40)]
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8,
+                                   err_msg=f"restart_mult={m}")
+
+
 def test_checkpoint_roundtrip(tmp_path, rng):
     from irn_tpu.utils import checkpoint as ckpt
 
