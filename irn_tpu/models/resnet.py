@@ -182,7 +182,8 @@ class ResNet50(nn.Module):
                   dtype=self.dtype)(x)
         x = FrozenBatchNorm(64, name="bn1")(x, calibrate)
         x = nn.relu(x)
-        extent = _halve_extent(extent)
+        if self.strides[0] == 2:  # track the stem's actual stride
+            extent = _halve_extent(extent)
         x = _extent_mask_nhwc(x, extent)  # before the spatial maxpool
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         extent = _halve_extent(extent)

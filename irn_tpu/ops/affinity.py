@@ -110,6 +110,13 @@ def _path_cells_meta(path_set: PathSet, ch: int, cw: int):
     """Hashable (rf, ch, cw, cells) for :func:`_path_max`; padded positions
     (which repeat the destination cell and can never win the strict-> max)
     are dropped via the true lengths."""
+    # _path_max stores the winning position index in int8; a path longer
+    # than 127 cells (radius ~60+, production is 10) would silently wrap
+    # and route backward cotangents to the wrong cells — fail loudly
+    assert path_set.max_path_length <= 127, (
+        f"path length {path_set.max_path_length} overflows the int8 "
+        "argmax storage in _path_max"
+    )
     cells = tuple(
         tuple(
             (int(dy), int(dx))

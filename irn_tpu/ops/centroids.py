@@ -134,6 +134,10 @@ def split_components(labels_np: np.ndarray, n_rows: int):
     comp_rows = []
     comp_sizes = []
     present = np.unique(labels_np)
+    # labels name seed rows 1..n_rows (0 = background): a violation means
+    # the upstream decode and the seed table disagree — fail loudly
+    # instead of emitting components with out-of-range row ids
+    assert present.max(initial=0) <= n_rows, (present.max(), n_rows)
     offset = 0
     for row in present:
         if row == 0:

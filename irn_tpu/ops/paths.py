@@ -102,7 +102,15 @@ def _rasterize(direction) -> list:
 
 @functools.lru_cache(maxsize=None)
 def build_path_set(radius: int) -> PathSet:
-    """Enumerate all half-plane paths within ``radius`` (pure host precompute)."""
+    """Enumerate all half-plane paths within ``radius`` (pure host precompute).
+
+    ``radius`` must be integral (the reference geometry enumerates
+    integer direction grids, misc/indexing.py:18-30); a float-typed
+    integral value (10.0 from a config) is accepted and normalized —
+    it used to crash in range()."""
+    if not float(radius).is_integer():
+        raise ValueError(f"radius must be integral, got {radius!r}")
+    radius = int(radius)
     radius_floor = int(np.ceil(radius) - 1)
     by_length: dict = {}
     for d in _search_directions(radius):
@@ -177,7 +185,9 @@ def build_grid_index(path_set: PathSet, size) -> GridPathIndex:
         raise ValueError(
             f"grid {size} too small for radius {path_set.radius} (window {ch}x{cw})"
         )
-    full = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    # int32 per the class contract (grids are <= a few thousand px per
+    # side, far under 2^31 flat indices); was silently int64
+    full = np.arange(h * w, dtype=np.int32).reshape(h, w)
 
     def window_at(dy: int, dx: int) -> np.ndarray:
         return full[dy : dy + ch, rf + dx : rf + dx + cw].reshape(-1)
@@ -207,16 +217,17 @@ def build_grid_index(path_set: PathSet, size) -> GridPathIndex:
 
 
 def unique_cells(path_set: PathSet):
-    """Deduplicated path cells across all pairs.
+    """Deduplicated path cells across all pairs (test oracle).
 
     Returns:
       cells_u: int32 ``[U, 2]`` unique (dy, dx) cells.
       cell_table: int32 ``[n_pairs, L_max]`` index into ``cells_u`` per path
         position (padded positions repeat the destination's unique id).
 
-    Device code slices the edge map once per unique cell (U ~= 2*r^2 shifted
-    windows) and then reduces each path by a scan over ``L_max`` gathers of
-    those windows — no per-pixel gather, everything static-shaped.
+    Historical note: this fed an abandoned scan-over-unique-cell-windows
+    device strategy; the production path-max is now fully-unrolled
+    shifted-window chains (ops/affinity._path_max). Kept as the
+    dedup-consistency oracle for tests/test_paths.py.
     """
     flat = path_set.cells.reshape(-1, 2)
     cells_u, inverse = np.unique(flat, axis=0, return_inverse=True)
