@@ -24,10 +24,19 @@ IMAGENET_STD = np.asarray((0.229, 0.224, 0.225), np.float32)
 
 
 def pil_resize(img: np.ndarray, size: Tuple[int, int], order: int) -> np.ndarray:
-    """Resize HW(C) array to (h, w) with PIL (order 3 bicubic, 0 nearest)."""
+    """Resize HW(C) array to (h, w) with PIL (order 3 bicubic, 0 nearest).
+
+    Other orders raise, preserving the reference's loud failure
+    (imutils.py:12-15 leaves ``resample`` unbound for them) instead of
+    silently degrading to NEAREST."""
     if size[0] == img.shape[0] and size[1] == img.shape[1]:
         return img
-    resample = Image.BICUBIC if order == 3 else Image.NEAREST
+    if order == 3:
+        resample = Image.BICUBIC
+    elif order == 0:
+        resample = Image.NEAREST
+    else:
+        raise ValueError(f"unsupported resize order {order} (use 0 or 3)")
     return np.asarray(Image.fromarray(img).resize(size[::-1], resample))
 
 

@@ -19,7 +19,6 @@ implementation that pydensecrf wraps.
 from __future__ import annotations
 
 import ctypes
-from typing import Dict, Tuple
 
 import numpy as np
 
@@ -86,13 +85,25 @@ def permutohedral_prepare(features: np.ndarray):
     flat = keys.reshape(-1, d)
     uniq, inverse = np.unique(flat, axis=0, return_inverse=True)
 
-    key_to_idx: Dict[Tuple, int] = {tuple(k): i for i, k in enumerate(uniq)}
+    # vectorized row lookup: bytewise void views of the rows are compared
+    # lexicographically (order differs from numeric, but only CONSISTENCY
+    # matters for searchsorted) — the old per-key Python dict loop probed
+    # n_lattice*(d+1)*2 tuples per prepare, millions of interpreter
+    # iterations on a bilateral lattice (found by review)
+    def rows_view(a: np.ndarray) -> np.ndarray:
+        a = np.ascontiguousarray(a)
+        return a.view(
+            np.dtype((np.void, a.dtype.itemsize * a.shape[1]))
+        ).ravel()
+
+    uv = rows_view(uniq)
+    uorder = np.argsort(uv)
+    uv_sorted = uv[uorder]
 
     def lookup(arr: np.ndarray) -> np.ndarray:
-        out = np.full(arr.shape[0], -1, np.int64)
-        for i, k in enumerate(arr):
-            out[i] = key_to_idx.get(tuple(k), -1)
-        return out
+        av = rows_view(np.ascontiguousarray(arr, uniq.dtype))
+        pos = np.minimum(np.searchsorted(uv_sorted, av), len(uv_sorted) - 1)
+        return np.where(uv_sorted[pos] == av, uorder[pos], -1)
 
     neighbors = []
     for j in range(dp1):
@@ -106,24 +117,38 @@ def permutohedral_prepare(features: np.ndarray):
     return inverse.reshape(n, dp1), bary[:, :dp1], neighbors, len(uniq)
 
 
-def _filter_normalized_np(features: np.ndarray, values: np.ndarray) -> np.ndarray:
-    ones = np.ones((features.shape[0], 1))
-    offsets, weights, neighbors, n_lattice = permutohedral_prepare(features)
+def _run_lattice(kern, vals: np.ndarray) -> np.ndarray:
+    offsets, weights, neighbors, n_lattice = kern
+    vd = vals.shape[1]
+    lat = np.zeros((n_lattice, vd))
+    contrib = (weights[..., None] * vals[:, None, :]).reshape(-1, vd)
+    np.add.at(lat, offsets.reshape(-1), contrib)
+    for i1, i2 in neighbors:
+        v1 = np.where((i1 >= 0)[:, None], lat[np.maximum(i1, 0)], 0.0)
+        v2 = np.where((i2 >= 0)[:, None], lat[np.maximum(i2, 0)], 0.0)
+        lat = 2.0 * lat + v1 + v2
+    return (weights[..., None] * lat[offsets]).sum(axis=1)
 
-    def run(vals: np.ndarray) -> np.ndarray:
-        vd = vals.shape[1]
-        lat = np.zeros((n_lattice, vd))
-        contrib = (weights[..., None] * vals[:, None, :]).reshape(-1, vd)
-        np.add.at(lat, offsets.reshape(-1), contrib)
-        for i1, i2 in neighbors:
-            v1 = np.where((i1 >= 0)[:, None], lat[np.maximum(i1, 0)], 0.0)
-            v2 = np.where((i2 >= 0)[:, None], lat[np.maximum(i2, 0)], 0.0)
-            lat = 2.0 * lat + v1 + v2
-        return (weights[..., None] * lat[offsets]).sum(axis=1)
 
-    norm = run(ones)
+def _prepare_normalized(features: np.ndarray):
+    """One-time lattice build + symmetric normalizer for a feature set —
+    the per-kernel analogue of the native NormalizedKernel, so mean-field
+    iterations reuse the lattice instead of rebuilding it (the old
+    per-iteration rebuild made the fallback ~10x slower than necessary,
+    found by review)."""
+    kern = permutohedral_prepare(features)
+    norm = _run_lattice(kern, np.ones((features.shape[0], 1)))
     inv_sqrt = 1.0 / np.sqrt(np.maximum(norm, 1e-20))
-    return inv_sqrt * run(values * inv_sqrt)
+    return kern, inv_sqrt
+
+
+def _apply_normalized(kern, inv_sqrt, values: np.ndarray) -> np.ndarray:
+    return inv_sqrt * _run_lattice(kern, values * inv_sqrt)
+
+
+def _filter_normalized_np(features: np.ndarray, values: np.ndarray) -> np.ndarray:
+    kern, inv_sqrt = _prepare_normalized(features)
+    return _apply_normalized(kern, inv_sqrt, values)
 
 
 def filter_normalized(features: np.ndarray, values: np.ndarray) -> np.ndarray:
@@ -157,7 +182,13 @@ def _crf_label_np(img, labels, t, n_labels, gt_prob,
 
     p_other = (1.0 - gt_prob) / max(n_labels - 1, 1)
     neg_unary = np.full((n, m), np.log(p_other), np.float64)
-    neg_unary[np.arange(n), labels.reshape(-1)] = np.log(gt_prob)
+    # out-of-range labels (e.g. 255 void) get a uniform unary — exactly
+    # what the native path does (densecrf.cpp: (c == li) never matches);
+    # fancy indexing used to IndexError here, making behavior depend on
+    # whether the native lib was built (found by review)
+    lab = labels.reshape(-1)
+    valid = (lab >= 0) & (lab < m)
+    neg_unary[np.where(valid)[0], lab[valid]] = np.log(gt_prob)
 
     ys, xs = np.mgrid[0:h, 0:w]
     feat_g = np.stack([xs / sxy_g, ys / sxy_g], -1).reshape(n, 2)
@@ -173,11 +204,16 @@ def _crf_label_np(img, labels, t, n_labels, gt_prob,
         e = np.exp(x - x.max(axis=1, keepdims=True))
         return e / e.sum(axis=1, keepdims=True)
 
+    # both lattices built ONCE (like the native NormalizedKernel pair),
+    # then reused across all t iterations
+    kern_g, inv_g = _prepare_normalized(feat_g)
+    kern_b, inv_b = _prepare_normalized(feat_b)
+
     q = softmax(neg_unary)
     for _ in range(t):
         logits = neg_unary.copy()
-        logits += w_g * _filter_normalized_np(feat_g, q)
-        logits += w_b * _filter_normalized_np(feat_b, q)
+        logits += w_g * _apply_normalized(kern_g, inv_g, q)
+        logits += w_b * _apply_normalized(kern_b, inv_b, q)
         q = softmax(logits)
     return q.argmax(axis=1).reshape(h, w).astype(np.int32)
 

@@ -30,7 +30,15 @@ class StageProfiler:
 
         if self._count == self.start and not self._active:
             os.makedirs(self.dir, exist_ok=True)
-            jax.profiler.start_trace(self.dir)
+            try:
+                jax.profiler.start_trace(self.dir)
+            except RuntimeError:
+                # a previous stage's window was orphaned mid-trace by an
+                # exception (its close() never ran): flush it so this
+                # stage's capture can start instead of raising
+                # "profiling is already in progress"
+                jax.profiler.stop_trace()
+                jax.profiler.start_trace(self.dir)
             self._active = True
         elif self._count == self.stop and self._active:
             jax.profiler.stop_trace()

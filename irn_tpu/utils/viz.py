@@ -69,7 +69,12 @@ def colorize_label(label_map: np.ndarray, by_hue: bool = True,
         )
         return palette[np.clip(label_map, 0, sz)]
     palette = VOC_COLORS if not exclude_zero else VOC_COLORS[1:]
-    img = palette[label_map % len(palette)]
+    # 255-void maps to the last palette entry (white) so ignore regions
+    # stay visually distinct; the modulo wrap painted them as an
+    # arbitrary class color (found by review)
+    label_map = np.where(label_map == 255, len(palette) - 1,
+                         label_map % len(palette))
+    img = palette[label_map]
     if normalize:
         img = img / (img.max() + 1e-12)
     return img

@@ -83,12 +83,12 @@ def convert_cam_net(sd: Mapping) -> Dict:
     return {"params": params, "stats": {"resnet50": backbone["stats"]}}
 
 
-_IRN_GN = {  # fc name -> (convgn submodules)
-    "fc_edge1": True, "fc_edge2": True, "fc_edge3": True, "fc_edge4": True,
-    "fc_edge5": True,
-    "fc_dp1": True, "fc_dp2": True, "fc_dp3": True, "fc_dp4": True,
-    "fc_dp5": True, "fc_dp6": True,
-}
+# IRN decoder blocks that are Sequential(conv, GroupNorm) in the
+# reference — each ports via _convgn
+_IRN_GN = (
+    "fc_edge1", "fc_edge2", "fc_edge3", "fc_edge4", "fc_edge5",
+    "fc_dp1", "fc_dp2", "fc_dp3", "fc_dp4", "fc_dp5", "fc_dp6",
+)
 
 
 def _convgn(sd: Mapping, prefix: str) -> Dict:

@@ -8,6 +8,7 @@
 //
 // C ABI for ctypes. All buffers are caller-allocated, row-major.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <vector>

@@ -1,7 +1,9 @@
 #include "permutohedral.h"
 
+#include <algorithm>
 #include <cmath>
 #include <cstring>
+#include <utility>
 
 #ifdef _OPENMP
 #include <omp.h>
