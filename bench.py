@@ -94,6 +94,9 @@ def main():
         "value": round(value, 3),
         "unit": "img/s",
         "vs_baseline": round(value / baseline_img_s, 2),
+        # the reference publishes no numbers (SURVEY 6); the denominator is
+        # a documented engineering estimate — see module docstring
+        "baseline": {"img_s": baseline_img_s, "kind": "estimated"},
     }
     if composed is not None:
         line["make_sem_seg_e2e_img_s"] = round(composed, 3)

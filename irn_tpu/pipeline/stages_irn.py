@@ -386,6 +386,30 @@ class RandomWalkRunner:
         sq = self._square_times(geom)
         return sq, self._use_banded(geom, sq)
 
+    def resolve_mode(self, cap_h: int, cap_w: int) -> str:
+        """Name of the kernel family this geometry's programs will actually
+        execute: ``diag`` (e=0 diagonal stencil, the production default) |
+        ``banded`` (packed band-tile matmul chain) | ``mesh_diag``
+        (column-sharded stencil) | ``mesh_banded`` (halo-exchange sharded
+        band) | ``dense`` (full-matrix XLA, single-device or partitioner-
+        sharded). Mirrors :meth:`_resolve` plus the internal dispatch of
+        ``propagate``/``propagate_banded``; the fused and chunked programs
+        resolve identically by construction (same ``sq``, same gates).
+        Pinned by tests/test_walk_dispatch.py so a future kernel cannot
+        silently reroute production."""
+        geom = rw_mod.build_geometry(cap_h, cap_w, radius=self.radius)
+        sq, banded = self._resolve(geom)
+        if banded:
+            # propagate_banded's own dispatch: the e=0 stencil needs no
+            # band-fit gate (the diagonal operator IS the matrix)
+            return ("diag" if sq == 0 and rw_mod.diag_selected()
+                    else "banded")
+        if self._mesh_diag(geom, sq):
+            return "mesh_diag"
+        if self._mesh_banded(geom, sq):
+            return "mesh_banded"
+        return "dense"
+
     def _program(self, cap_h: int, cap_w: int):
         key = (cap_h, cap_w)
         with self._lock:
