@@ -18,6 +18,7 @@ Reference semantics (step/make_ins_seg_labels.py:18-105):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict
 
 import jax
@@ -45,22 +46,49 @@ def find_centroids(dp: jax.Array, iterations: int = 300) -> jax.Array:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
 def find_centroids_bounded(
     dp: jax.Array, h_true: jax.Array, w_true: jax.Array, iterations: int = 300
 ) -> jax.Array:
     """Like :func:`find_centroids` but clips particles to a *dynamic* true
     extent inside a fixed capped grid, reproducing the reference's
     exact-size border clipping (make_ins_seg_labels.py:47-49) under a
-    single compilation."""
+    single compilation.
+
+    Two implementations behind ``IRN_TPU_ADVECT``:
+
+    - ``matmul`` (default): the bilinear sample is decomposed into a
+      two-tap row-interpolation matmul (``Wy @ field``, MXU, f32
+      ``Precision.HIGHEST``) followed by a two-tap column masked reduce
+      (VPU) — no gathers. Gathers serialize on TPU (one element per
+      issue); this form keeps the whole 300-iteration loop on the wide
+      units, the same shifted-slice/matmul treatment the resize, path-max,
+      and stencil paths got. Each weight row has exactly two nonzeros and
+      zero-products are exact in f32, so the sums have the same two terms
+      as the gather form.
+    - ``gather``: the direct 4-corner flat-gather formulation (the
+      round-1..3 path, kept for A/B and as the oracle form).
+    """
+    if os.environ.get("IRN_TPU_ADVECT", "matmul") == "gather":
+        return _find_centroids_gather(dp, h_true, w_true, iterations)
+    return _find_centroids_matmul(dp, h_true, w_true, iterations)
+
+
+def _start_positions(h, w, ymax, xmax):
+    cy0 = jnp.minimum(jax.lax.broadcasted_iota(jnp.float32, (h, w), 0), ymax)
+    cx0 = jnp.minimum(jax.lax.broadcasted_iota(jnp.float32, (h, w), 1), xmax)
+    return cy0, cx0
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def _find_centroids_gather(
+    dp: jax.Array, h_true: jax.Array, w_true: jax.Array, iterations: int = 300
+) -> jax.Array:
     h, w = dp.shape[1], dp.shape[2]
     dpy = dp[0]
     dpx = dp[1]
     ymax = (h_true - 1).astype(jnp.float32)
     xmax = (w_true - 1).astype(jnp.float32)
-
-    cy0 = jnp.minimum(jax.lax.broadcasted_iota(jnp.float32, (h, w), 0), ymax)
-    cx0 = jnp.minimum(jax.lax.broadcasted_iota(jnp.float32, (h, w), 1), xmax)
+    cy0, cx0 = _start_positions(h, w, ymax, xmax)
 
     def sample(field: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
         uy = jnp.ceil(y).astype(jnp.int32)
@@ -85,6 +113,53 @@ def find_centroids_bounded(
         y, x = carry
         ny = jnp.clip(y + sample(dpy, y, x), 0.0, ymax)
         nx = jnp.clip(x + sample(dpx, y, x), 0.0, xmax)
+        return ny, nx
+
+    cy, cx = jax.lax.fori_loop(0, iterations, body, (cy0, cx0))
+    return jnp.stack(
+        [jnp.rint(cy).astype(jnp.int32), jnp.rint(cx).astype(jnp.int32)], axis=0
+    )
+
+
+def _two_tap_weights(pos: jax.Array, n: int) -> jax.Array:
+    """[N] positions in [0, n-1] -> [N, n] rows with the two bilinear taps
+    ``(1-frac)`` at floor(pos) and ``frac`` at floor(pos)+1. At integer
+    positions the second tap's weight is exactly 0, so a floor(pos)+1 that
+    lands on a padded (or nonexistent) row contributes an exact 0 — the
+    same value the gather form's ceil==floor collapse produces."""
+    lo = jnp.floor(pos)
+    frac = (pos - lo)[:, None]
+    iota = jax.lax.broadcasted_iota(jnp.float32, (pos.shape[0], n), 1)
+    lo = lo[:, None]
+    return jnp.where(iota == lo, 1.0 - frac, 0.0) + jnp.where(
+        iota == lo + 1.0, frac, 0.0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def _find_centroids_matmul(
+    dp: jax.Array, h_true: jax.Array, w_true: jax.Array, iterations: int = 300
+) -> jax.Array:
+    h, w = dp.shape[1], dp.shape[2]
+    n = h * w
+    # [H, 2W]: columns 0..W-1 = dy field, W..2W-1 = dx field — one matmul
+    # row-interpolates both channels
+    field2 = jnp.concatenate([dp[0], dp[1]], axis=1)
+    ymax = (h_true - 1).astype(jnp.float32)
+    xmax = (w_true - 1).astype(jnp.float32)
+    cy0, cx0 = _start_positions(h, w, ymax, xmax)
+
+    def body(_, carry):
+        y, x = carry
+        wy = _two_tap_weights(y.reshape(n), h)  # [N, H]
+        wx = _two_tap_weights(x.reshape(n), w)  # [N, W]
+        # HIGHEST keeps the two nonzero products f32-faithful; the MXU
+        # passes cost nothing at this size (~0.4 GMAC/iter at 128^2)
+        rows = jnp.dot(wy, field2, precision=jax.lax.Precision.HIGHEST)
+        sy = jnp.sum(rows[:, :w] * wx, axis=1).reshape(h, w)
+        sx = jnp.sum(rows[:, w:] * wx, axis=1).reshape(h, w)
+        ny = jnp.clip(y + sy, 0.0, ymax)
+        nx = jnp.clip(x + sx, 0.0, xmax)
         return ny, nx
 
     cy, cx = jax.lax.fori_loop(0, iterations, body, (cy0, cx0))

@@ -224,3 +224,42 @@ def test_binary_mask_to_polygons_degenerate():
     assert (
         coco.annotation_info(1, 1, 1, np.zeros((4, 4), bool)) is None
     )
+
+
+def test_advect_matmul_matches_gather(rng):
+    """The gather-free two-tap matmul advection (IRN_TPU_ADVECT=matmul,
+    the TPU default) against the 4-corner gather form, both dynamic-extent:
+    exact at short horizons; near-total with the usual knife-edge allowance
+    at 300 iterations (trajectories may bifurcate where fp rounding lands a
+    particle exactly on a cell boundary)."""
+    import jax.numpy as jnp
+
+    dp = (rng.standard_normal((2, 24, 32)) * 1.2).astype(np.float32)
+    for h4, w4 in ((24, 32), (19, 27)):
+        for iters in (1, 4, 8):
+            a = np.asarray(centroids._find_centroids_gather(
+                jnp.asarray(dp), jnp.int32(h4), jnp.int32(w4), iters))
+            b = np.asarray(centroids._find_centroids_matmul(
+                jnp.asarray(dp), jnp.int32(h4), jnp.int32(w4), iters))
+            np.testing.assert_array_equal(a, b, err_msg=str((h4, w4, iters)))
+    # Long horizons on a pure random field are a chaos amplifier (1-ulp
+    # multiply-association differences bifurcate trajectories, same as the
+    # 50-iter oracle allowance above); what production advects is a
+    # *trained displacement field* whose basins contract trajectories. On
+    # a basin-structured field with noise, 300 iterations must agree in
+    # the converged coordinates and in the clustered instance maps.
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    attract = np.where(xx < 16, 1.0, 0.0)
+    cy = attract * 8 + (1 - attract) * 15
+    cx = attract * 7 + (1 - attract) * 25
+    dp = np.stack([(cy - yy) * 0.3, (cx - xx) * 0.3], 0).astype(np.float32)
+    dp += (rng.standard_normal(dp.shape) * 0.05).astype(np.float32)
+    a = np.asarray(centroids._find_centroids_gather(
+        jnp.asarray(dp), jnp.int32(h), jnp.int32(w), 300))
+    b = np.asarray(centroids._find_centroids_matmul(
+        jnp.asarray(dp), jnp.int32(h), jnp.int32(w), 300))
+    assert ((a == b).all(axis=0)).mean() > 0.99, (a != b).sum()
+    inst_a = centroids.cluster_centroids(a, dp)
+    inst_b = centroids.cluster_centroids(b, dp)
+    np.testing.assert_array_equal(inst_a, inst_b)
