@@ -49,6 +49,13 @@ class BatchLoader:
       num_workers: decode/augment threads.
       prefetch: max batches in flight.
       indices: optional explicit index subset (e.g. a host shard).
+      local_rows: optional (lo, hi) — decode only these rows of every
+        (globally shuffled) batch. Multi-host data parallelism: each
+        process forms the SAME global batch stream (seeded shuffle) and
+        loads only its contiguous row range of each batch
+        (parallel/mesh.local_batch_slice); shard_batch then assembles the
+        global array. Requires drop_last (a ragged tail batch has no
+        well-defined row range).
     """
 
     def __init__(
@@ -61,6 +68,7 @@ class BatchLoader:
         prefetch: int = 2,
         seed: int = 0,
         indices: Optional[np.ndarray] = None,
+        local_rows: Optional[tuple] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -72,6 +80,17 @@ class BatchLoader:
         self.indices = (
             np.asarray(indices) if indices is not None else np.arange(len(dataset))
         )
+        if local_rows is not None:
+            lo, hi = local_rows
+            if not (0 <= lo < hi <= batch_size):
+                raise ValueError(f"local_rows {local_rows} outside batch "
+                                 f"[0, {batch_size})")
+            if (lo, hi) != (0, batch_size) and not drop_last:
+                raise ValueError(
+                    "local_rows requires drop_last=True (a ragged tail "
+                    "batch has no well-defined per-process row range)"
+                )
+        self.local_rows = local_rows
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -108,6 +127,11 @@ class BatchLoader:
             idx[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(n_batches)
         ]
+        if self.local_rows is not None:
+            # slice AFTER forming global batches so every process sees the
+            # same global shuffle stream and decodes disjoint rows of it
+            lo, hi = self.local_rows
+            batches = [b[lo:hi] for b in batches]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

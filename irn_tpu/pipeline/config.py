@@ -148,6 +148,18 @@ class Config:
     profile_dir: str = ""                 # capture jax.profiler traces
     resume: bool = True                   # resume training from epoch ckpts
 
+    # multi-host (DCN) process group — SURVEY 2.7 TPU-equivalents. On TPU
+    # pods `--dist_initialize` alone auto-detects everything from the
+    # runtime; elsewhere set the coordinator/count/id triple explicitly
+    # (every process runs the same CLI). Training then data-parallels over
+    # the GLOBAL device mesh: each process loads its contiguous rows of
+    # every global batch (parallel/mesh.local_batch_slice) and XLA lowers
+    # the gradient all-reduce onto ICI + DCN.
+    dist_initialize: bool = False         # call jax.distributed.initialize
+    dist_coordinator: str = ""            # "host:port" of process 0
+    dist_num_processes: int = 0           # total processes (0 = auto)
+    dist_process_id: int = -1             # this process (-1 = auto)
+
     # stage switches
     train_cam_pass: bool = False
     make_cam_pass: bool = False

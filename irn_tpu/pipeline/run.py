@@ -54,6 +54,33 @@ def config_from_args(argv=None) -> Config:
     return Config(**kw).resolve()
 
 
+def maybe_init_distributed(cfg: Config) -> None:
+    """Join the multi-host process group when configured (SURVEY 2.7).
+
+    Must run before any JAX backend touch (first jax.devices()); after it,
+    jax.devices() spans the whole slice/pod and jax.process_index()/count()
+    drive the loaders' batch-row split and the make-stages' host sharding
+    (common.host_shard_range). No-op unless --dist_initialize or a
+    coordinator address is configured."""
+    if not (cfg.dist_initialize or cfg.dist_coordinator):
+        return
+    import jax
+
+    kw = {}
+    if cfg.dist_coordinator:
+        kw["coordinator_address"] = cfg.dist_coordinator
+    if cfg.dist_num_processes > 0:
+        kw["num_processes"] = cfg.dist_num_processes
+    if cfg.dist_process_id >= 0:
+        kw["process_id"] = cfg.dist_process_id
+    jax.distributed.initialize(**kw)
+    print(
+        f"distributed: process {jax.process_index()}/{jax.process_count()}, "
+        f"{len(jax.local_devices())} local / {len(jax.devices())} global "
+        "devices", flush=True,
+    )
+
+
 STAGES = [
     ("train_cam_pass", "irn_tpu.pipeline.stages_cam", "train_cam"),
     ("make_cam_pass", "irn_tpu.pipeline.stages_cam", "make_cam"),
@@ -94,7 +121,14 @@ def run_pipeline(cfg: Config) -> None:
 
 def main(argv=None) -> None:
     cfg = config_from_args(argv)
-    logger = Logger(cfg.log_name + ".log")
+    maybe_init_distributed(cfg)
+    log_name = cfg.log_name
+    if cfg.dist_initialize or cfg.dist_coordinator:
+        import jax
+
+        if jax.process_index() > 0:  # one log file per process
+            log_name = f"{log_name}.p{jax.process_index()}"
+    logger = Logger(log_name + ".log")
     try:
         print(dataclasses.asdict(cfg))
         run_pipeline(cfg)

@@ -57,9 +57,16 @@ def train_cam(cfg: Config) -> None:
     val_ds = voc12.ClassificationDataset(
         cfg.val_list, cfg.voc12_root, labels, crop_size=cfg.cam_crop_size
     )
+    # mesh first: in multi-host mode (pipeline/run.maybe_init_distributed)
+    # it spans the GLOBAL devices and each process's loader decodes only
+    # its contiguous rows of every global batch
+    mesh = mesh_mod.mesh_for_batch(cfg.cam_batch_size, cfg.mesh_data or None)
+    local_rows = mesh_mod.local_batch_slice(mesh, cfg.cam_batch_size)
+    is_main = jax.process_index() == 0
     train_dl = loader_mod.BatchLoader(
         train_ds, cfg.cam_batch_size, shuffle=True, drop_last=True,
         num_workers=cfg.num_workers,
+        local_rows=local_rows if jax.process_count() > 1 else None,
     )
     # drop_last=False: the reference's validate loader keeps the tail batch
     # (step/train_cam.py:24-27); the eval step re-jits once for it
@@ -76,8 +83,17 @@ def train_cam(cfg: Config) -> None:
 
     if cfg.calibrate_bn and not cfg.pretrained_backbone:
         # no ImageNet running statistics exist: calibrate the frozen BN
-        # stats from one real batch so a from-scratch backbone is trainable
-        batch = next(iter(train_dl))
+        # stats from one real batch so a from-scratch backbone is trainable.
+        # Multi-host: every process must calibrate from the SAME full batch
+        # (seeded shuffle => identical stream), or stats diverge across the
+        # replicated state
+        cal_dl = train_dl if jax.process_count() == 1 else (
+            loader_mod.BatchLoader(
+                train_ds, cfg.cam_batch_size, shuffle=True, drop_last=True,
+                num_workers=cfg.num_workers,
+            )
+        )
+        batch = next(iter(cal_dl))
         _, mutated = model.apply(
             variables, batch["img"], method=model.calibrate_stats,
             mutable=["stats"],
@@ -109,7 +125,6 @@ def train_cam(cfg: Config) -> None:
         start_epoch = int(saved["epoch"])
         print(f"resumed {train_ckpt_path} at epoch {start_epoch}")
 
-    mesh = mesh_mod.mesh_for_batch(cfg.cam_batch_size, cfg.mesh_data or None)
     state = mesh_mod.replicate(state, mesh)
     step_fn = cam_train.make_train_step(model, tx)
     eval_fn = cam_train.make_eval_step(model)
@@ -120,6 +135,7 @@ def train_cam(cfg: Config) -> None:
     meter = DeviceMeter()
     timer = Timer()
     steps_per_epoch = len(train_dl)
+    step_c = None  # resolved at the first batch (multi-host: AOT+barrier)
     for ep in range(start_epoch, cfg.cam_num_epoches):
         print(f"Epoch {ep + 1}/{cfg.cam_num_epoches}")
         # pin the loader's RNG stream to the true epoch: resumed runs
@@ -128,9 +144,22 @@ def train_cam(cfg: Config) -> None:
         train_dl.set_epoch(ep)
         for it, batch in enumerate(train_dl):
             sb = mesh_mod.shard_batch(
-                {"img": batch["img"], "label": np.stack(batch["label"])}, mesh
+                {"img": batch["img"], "label": np.stack(batch["label"])},
+                mesh, global_batch=cfg.cam_batch_size,
             )
-            state, metrics = step_fn(state, sb["img"], sb["label"])
+            if step_c is None:
+                if jax.process_count() > 1:
+                    # compile first (minutes), THEN sync: every process
+                    # must reach the first gradient all-reduce within
+                    # gloo/ICI's connect window (mesh.process_barrier)
+                    step_c = mesh_mod.compile_step(
+                        step_fn, state, sb["img"], sb["label"]
+                    )
+                    mesh_mod.process_barrier("train_cam_compiled")
+                    mesh_mod.warm_collectives(mesh)
+                else:
+                    step_c = step_fn
+            state, metrics = step_c(state, sb["img"], sb["label"])
             prof.tick()
             meter.add({"loss1": metrics["loss"]})
             # host-side step counter: int(state.step) is a device value
@@ -138,34 +167,51 @@ def train_cam(cfg: Config) -> None:
             # exists to defer exactly that to the log interval)
             gstep = ep * steps_per_epoch + it + 1
             if (gstep - 1) % 100 == 0:
-                timer.update_progress(gstep / max_step)
-                print(
-                    f"step:{gstep - 1:5d}/{max_step:5d}",
-                    f"loss:{meter.pop('loss1'):.4f}",
-                    f"imps:{(it + 1) * cfg.cam_batch_size / timer.get_stage_elapsed():.1f}",
-                    f"etc:{timer.str_estimated_complete()}",
-                    flush=True,
-                )
-        # validation (train_cam.py:14-36)
-        val_meter = AverageMeter()
-        for batch in val_dl:
-            loss = eval_fn(state, batch["img"], np.stack(batch["label"]))
-            val_meter.add({"loss": float(loss)})
-        print(f"validate loss: {val_meter.get('loss'):.4f}")
+                # every process fetches (a dispatch error on a non-main
+                # process must fail its run, not vanish — it never
+                # fetches otherwise); only process 0 prints
+                loss1 = meter.pop("loss1")
+                if is_main:
+                    timer.update_progress(gstep / max_step)
+                    print(
+                        f"step:{gstep - 1:5d}/{max_step:5d}",
+                        f"loss:{loss1:.4f}",
+                        f"imps:{(it + 1) * cfg.cam_batch_size / timer.get_stage_elapsed():.1f}",
+                        f"etc:{timer.str_estimated_complete()}",
+                        flush=True,
+                    )
+        # validation (train_cam.py:14-36); multi-host: process 0 only,
+        # over a host copy of the replicated state under a local jit (the
+        # global state can't enter a single-process computation)
+        if is_main:
+            vstate = state if jax.process_count() == 1 else state.replace(
+                params=mesh_mod.fetch_replicated(state.params),
+                stats=mesh_mod.fetch_replicated(state.stats),
+                opt_state=None,
+            )
+            val_meter = AverageMeter()
+            for batch in val_dl:
+                loss = eval_fn(vstate, batch["img"], np.stack(batch["label"]))
+                val_meter.add({"loss": float(loss)})
+            print(f"validate loss: {val_meter.get('loss'):.4f}")
         timer.reset_stage()
-        ckpt.save_checkpoint(
-            train_ckpt_path,
-            {"params": state.params, "stats": state.stats,
-             "opt_state": state.opt_state, "step": state.step,
-             "epoch": ep + 1},
-        )
+        if is_main:
+            ckpt.save_checkpoint(
+                train_ckpt_path,
+                {"params": mesh_mod.fetch_replicated(state.params),
+                 "stats": mesh_mod.fetch_replicated(state.stats),
+                 "opt_state": mesh_mod.fetch_replicated(state.opt_state),
+                 "step": int(state.step), "epoch": ep + 1},
+            )
 
     prof.close()
-    ckpt.save_checkpoint(
-        cfg.cam_weights_name,
-        {"params": state.params, "stats": state.stats},
-    )
-    print(f"saved {cfg.cam_weights_name}")
+    if is_main:
+        ckpt.save_checkpoint(
+            cfg.cam_weights_name,
+            {"params": mesh_mod.fetch_replicated(state.params),
+             "stats": mesh_mod.fetch_replicated(state.stats)},
+        )
+        print(f"saved {cfg.cam_weights_name}")
 
 
 def _chunk_sizes(m: int, cap: int):

@@ -48,9 +48,16 @@ def train_irn(cfg: Config) -> None:
         crop_size=cfg.irn_crop_size, voc12_root=cfg.voc12_root,
         rescale=(0.5, 1.5), hor_flip=True, crop_method="random",
     )
+    # mesh first: in multi-host mode (pipeline/run.maybe_init_distributed)
+    # it spans the GLOBAL devices and each process's loader decodes only
+    # its contiguous rows of every global batch
+    mesh = mesh_mod.mesh_for_batch(cfg.irn_batch_size, cfg.mesh_data or None)
+    local_rows = mesh_mod.local_batch_slice(mesh, cfg.irn_batch_size)
+    is_main = jax.process_index() == 0
     dl = loader_mod.BatchLoader(
         ds, cfg.irn_batch_size, shuffle=True, drop_last=True,
         num_workers=cfg.num_workers,
+        local_rows=local_rows if jax.process_count() > 1 else None,
     )
     max_step = (len(ds) // cfg.irn_batch_size) * cfg.irn_num_epoches
 
@@ -76,7 +83,6 @@ def train_irn(cfg: Config) -> None:
         start_epoch = int(saved["epoch"])
         print(f"resumed {train_ckpt_path} at epoch {start_epoch}")
 
-    mesh = mesh_mod.mesh_for_batch(cfg.irn_batch_size, cfg.mesh_data or None)
     state = mesh_mod.replicate(state, mesh)
     step_fn = irn_train.make_train_step(model, tx, grid)
 
@@ -86,6 +92,7 @@ def train_irn(cfg: Config) -> None:
     meter = DeviceMeter()
     timer = Timer()
     steps_per_epoch = len(dl)
+    step_c = None  # resolved at the first batch (multi-host: AOT+barrier)
     for ep in range(start_epoch, cfg.irn_num_epoches):
         print(f"Epoch {ep + 1}/{cfg.irn_num_epoches}")
         # pin the loader's RNG stream to the true epoch so a resumed run
@@ -93,36 +100,66 @@ def train_irn(cfg: Config) -> None:
         dl.set_epoch(ep)
         for it, batch in enumerate(dl):
             sb = mesh_mod.shard_batch(
-                {"img": batch["img"], "red": batch["reduced_label"]}, mesh
+                {"img": batch["img"], "red": batch["reduced_label"]},
+                mesh, global_batch=cfg.irn_batch_size,
             )
-            state, metrics = step_fn(state, sb["img"], sb["red"])
+            if step_c is None:
+                if jax.process_count() > 1:
+                    # compile first (minutes), THEN sync: every process
+                    # must reach the first gradient all-reduce within
+                    # gloo/ICI's connect window (mesh.process_barrier)
+                    step_c = mesh_mod.compile_step(
+                        step_fn, state, sb["img"], sb["red"]
+                    )
+                    mesh_mod.process_barrier("train_irn_compiled")
+                    mesh_mod.warm_collectives(mesh)
+                else:
+                    step_c = step_fn
+            state, metrics = step_c(state, sb["img"], sb["red"])
             prof.tick()
             meter.add(metrics)
             # host-side counter: int(state.step) would fetch a device
             # value (forcing execution) every iteration
             gstep = ep * steps_per_epoch + it + 1
             if (gstep - 1) % 50 == 0:
-                timer.update_progress(gstep / max_step)
-                print(
-                    f"step:{gstep - 1:5d}/{max_step:5d}",
-                    "loss:%.4f %.4f %.4f %.4f" % (
-                        meter.pop("loss_pos_aff"), meter.pop("loss_neg_aff"),
-                        meter.pop("loss_dp_fg"), meter.pop("loss_dp_bg"),
-                    ),
-                    f"imps:{(it + 1) * cfg.irn_batch_size / timer.get_stage_elapsed():.1f}",
-                    f"etc:{timer.str_estimated_complete()}",
-                    flush=True,
+                # every process fetches (surfacing non-main dispatch
+                # errors); only process 0 prints
+                losses = (
+                    meter.pop("loss_pos_aff"), meter.pop("loss_neg_aff"),
+                    meter.pop("loss_dp_fg"), meter.pop("loss_dp_bg"),
                 )
+                if is_main:
+                    timer.update_progress(gstep / max_step)
+                    print(
+                        f"step:{gstep - 1:5d}/{max_step:5d}",
+                        "loss:%.4f %.4f %.4f %.4f" % losses,
+                        f"imps:{(it + 1) * cfg.irn_batch_size / timer.get_stage_elapsed():.1f}",
+                        f"etc:{timer.str_estimated_complete()}",
+                        flush=True,
+                    )
         timer.reset_stage()
-        ckpt.save_checkpoint(
-            train_ckpt_path,
-            {"params": state.params, "stats": state.stats,
-             "opt_state": state.opt_state, "step": state.step,
-             "epoch": ep + 1},
-        )
+        if is_main:
+            ckpt.save_checkpoint(
+                train_ckpt_path,
+                {"params": mesh_mod.fetch_replicated(state.params),
+                 "stats": mesh_mod.fetch_replicated(state.stats),
+                 "opt_state": mesh_mod.fetch_replicated(state.opt_state),
+                 "step": int(state.step), "epoch": ep + 1},
+            )
     prof.close()
 
-    # displacement mean calibration (train_irn.py:87-107)
+    # displacement mean calibration (train_irn.py:87-107); multi-host:
+    # the calibrated mean only travels in the saved checkpoint, so
+    # process 0 computes it over a host copy of the replicated state
+    # under a local jit and the other processes are done
+    if not is_main:
+        return
+    if jax.process_count() > 1:
+        state = state.replace(
+            params=mesh_mod.fetch_replicated(state.params),
+            stats=mesh_mod.fetch_replicated(state.stats),
+            opt_state=None,
+        )
     infer_ds = voc12.ImageDataset(
         cfg.infer_list, cfg.voc12_root, crop_size=cfg.irn_crop_size,
         crop_method="top_left",
@@ -138,7 +175,9 @@ def train_irn(cfg: Config) -> None:
     print("done.")
 
     ckpt.save_checkpoint(
-        cfg.irn_weights_name, {"params": state.params, "stats": state.stats}
+        cfg.irn_weights_name,
+        {"params": mesh_mod.fetch_replicated(state.params),
+         "stats": mesh_mod.fetch_replicated(state.stats)},
     )
     print(f"saved {cfg.irn_weights_name}")
 
