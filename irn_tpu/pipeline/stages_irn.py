@@ -326,12 +326,12 @@ class RandomWalkRunner:
     bucket at ~47% of the worst-case FLOPs."""
 
     BUCKET = 32
-    # Seed rows pad to this small bucket when they fit (else to n_rows):
-    # the e=0 diagonal stencil's cost is linear in seed rows above the
-    # 8-sublane f32 tile, and a VOC image carries 1-3 classes while
-    # n_rows is 20 — measured 9.8 vs 17.1 ms/chain at the production
-    # bucket (C=8 vs C=20, v5e-1). Two row shapes bound the per-geometry
-    # compile count at 2 (jax.jit retraces per cam shape).
+    # Seed rows pad to a power-of-two bucket family starting here (see
+    # _row_bucket): the e=0 diagonal stencil's cost is linear in seed
+    # rows above the 8-sublane f32 tile — measured 9.8 vs 17.1 ms/chain
+    # at the production bucket (C=8 vs C=20, v5e-1). A VOC image carries
+    # 1-3 classes (make_sem_seg) but make_ins_seg walks
+    # (instances x classes) rows anywhere in [1, 128].
     ROW_BUCKET = 8
 
     def __init__(self, cfg: Config, n_seed_rows: int):
@@ -682,9 +682,18 @@ class RandomWalkRunner:
         return labels, rw_up
 
     def _row_bucket(self, k: int) -> int:
-        if k <= self.ROW_BUCKET < self.n_rows:
-            return self.ROW_BUCKET
-        return self.n_rows
+        """Smallest power-of-two bucket (from ROW_BUCKET, capped at
+        n_rows) covering k seed rows. The stencil chain is linear in rows
+        (ROW_BUCKET docstring), so padding k to the next power of two
+        instead of straight to n_rows matters most for make_ins_seg,
+        whose (instances x classes) row counts land anywhere in
+        [1, n_rows=128]: a 20-row image walks a 32-row program (~2x the
+        8-row chain), not a 128-row one (~10x). Bounds the per-geometry
+        compile count at log2(n_rows / ROW_BUCKET) + 2 shapes."""
+        b = self.ROW_BUCKET
+        while b < min(k, self.n_rows):
+            b *= 2
+        return min(b, self.n_rows)
 
     def _row_pad(self, k: int, ch: int, cw: int):
         key = ("row_pad", k, ch, cw)
@@ -785,13 +794,38 @@ def make_sem_seg_labels(cfg: Config) -> None:
         finish(pending.popleft())
 
 
+def _advect_pack_program():
+    """One-fetch advection: centroids (exact in f32 — grid coords < 2^24)
+    stacked over the displacement field, so the stage pays ONE
+    device->host round trip for both instead of two (each fetch is a
+    relay/PCIe round trip; the bytes are identical)."""
+
+    @jax.jit
+    def run(dp: jax.Array, h4: jax.Array, w4: jax.Array) -> jax.Array:
+        cent = cent_mod.find_centroids_bounded(dp, h4, w4, iterations=300)
+        return jnp.concatenate([cent.astype(jnp.float32), dp], axis=0)
+
+    return run
+
+
+@jax.jit
+def _walk_pack(labels: jax.Array, best: jax.Array) -> jax.Array:
+    """[2, 4ch, 4cw] f32 stack of (labels, best) — one fetch. Label ids
+    are < 2^24, exact through the f32 round trip."""
+    return jnp.concatenate(
+        [labels.astype(jnp.float32)[None], best[None]], axis=0
+    )
+
+
 def make_ins_seg_labels(cfg: Config) -> None:
     """Instance pseudo masks (step/make_ins_seg_labels.py). The per-image
     flow interleaves device programs with host centroid clustering, so the
-    device fan-out runs one worker thread per local device: thread t's
-    image blocks commit to device t (EdgeDisplacement batched per block),
-    host post-processing overlaps across threads (the reference spawns one
-    process per GPU, make_ins_seg_labels.py:168-171)."""
+    device fan-out runs TWO worker threads per local device: blocks commit
+    to devices round-robin (EdgeDisplacement batched per block) and one
+    thread's host post-processing (connected components, component
+    scoring) overlaps the other's device programs on the same chip (the
+    reference spawns one process per GPU and leaves its CPU hot loop
+    serial with the GPU, make_ins_seg_labels.py:168-171)."""
     from concurrent.futures import ThreadPoolExecutor
 
     runner = _load_irn(cfg)
@@ -816,13 +850,12 @@ def make_ins_seg_labels(cfg: Config) -> None:
         cams = np.asarray(cam_dict["cam"], np.float32)
         keys = np.asarray(cam_dict["keys"])
 
-        cent = np.asarray(
-            cent_mod.find_centroids_bounded(
-                dp, jnp.int32(h4), jnp.int32(w4), iterations=300
-            )
-        )
-        dp_np = np.asarray(dp)[:, :h4, :w4]
-        instance_map = cent_mod.cluster_centroids(cent[:, :h4, :w4], dp_np)
+        pack = np.asarray(
+            advect_pack(dp, jnp.int32(h4), jnp.int32(w4))
+        )[:, :h4, :w4]
+        cent = pack[:2].astype(np.int32)
+        dp_np = pack[2:]
+        instance_map = cent_mod.cluster_centroids(cent, dp_np)
         num_instances = instance_map.shape[0]
 
         seeds = cent_mod.mask_scores_by_instance(cams, instance_map)
@@ -832,12 +865,14 @@ def make_ins_seg_labels(cfg: Config) -> None:
             seeds, edge, h4, w4, size, cfg.ins_seg_bg_thres, device=dev
         )
 
-        # Only the int label map + the [4ch, 4cw] winning-score map cross
-        # device->host (~1 MB, vs the [n_rows, 4ch, 4cw] score volume). At
-        # any pixel a component owns, its row IS the per-pixel argmax, so
-        # the winning-score map carries every per-component max.
-        labels_full = np.asarray(labels)  # [4ch, 4cw]; 0 beyond extent
-        best_np = np.asarray(best)
+        # Only the label map + the [4ch, 4cw] winning-score map cross
+        # device->host (~2 MB in one fetch, vs the [n_rows, 4ch, 4cw]
+        # score volume). At any pixel a component owns, its row IS the
+        # per-pixel argmax, so the winning-score map carries every
+        # per-component max.
+        wpack = np.asarray(_walk_pack(labels, best))
+        labels_full = wpack[0].astype(np.int32)  # 0 beyond extent
+        best_np = wpack[1]
         n_rows = seeds.shape[0]
         instance_class_id = np.repeat(keys, num_instances)
 
@@ -875,13 +910,14 @@ def make_ins_seg_labels(cfg: Config) -> None:
         if i % max(n // 20, 1) == 0:
             print(f"make_ins_seg {i}/{n}", flush=True)
 
+    advect_pack = _advect_pack_program()
     todo = _pending_indices(ds, cfg.ins_seg_out_dir, ".npy", cfg.overwrite)
     bsz = runner.batch_size
     blocks = [todo[c0 : c0 + bsz] for c0 in range(0, len(todo), bsz)]
 
     def work(args) -> None:
         c, block = args
-        dev = spread(c)
+        dev = spread(c // 2)  # two consecutive blocks share one device
         samples = [ds[i] for i in block]
         imgs = [s["img"].astype(np.uint8) for s in samples]
         sizes = [im.shape[:2] for im in imgs]
@@ -889,5 +925,5 @@ def make_ins_seg_labels(cfg: Config) -> None:
         for i, sample, (edge, dp, (h4, w4)) in zip(block, samples, fw):
             work_one(i, sample, edge, dp, h4, w4, dev)
 
-    with ThreadPoolExecutor(max_workers=max(1, len(spread))) as pool:
+    with ThreadPoolExecutor(max_workers=max(2, 2 * len(spread))) as pool:
         list(pool.map(work, enumerate(blocks)))

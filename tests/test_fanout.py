@@ -132,6 +132,19 @@ def test_walker_row_bucket_matches_full_pad(rng):
     )
 
 
+def test_row_bucket_family():
+    """Seed rows pad to the smallest power-of-two bucket >= k (from
+    ROW_BUCKET, capped at n_rows): make_ins_seg's (instances x classes)
+    row counts land anywhere in [1, 128], and padding 20 rows to 128
+    costs ~10x the 8-row chain (the stencil is linear in rows)."""
+    w = RandomWalkRunner(Config(rw_grid_cap=16), n_seed_rows=128)
+    assert [w._row_bucket(k) for k in (1, 8, 9, 16, 20, 33, 64, 65, 128)] \
+        == [8, 8, 16, 16, 32, 64, 64, 128, 128]
+    sem = RandomWalkRunner(Config(rw_grid_cap=16), n_seed_rows=20)
+    assert [sem._row_bucket(k) for k in (3, 8, 9, 17, 20)] == \
+        [8, 8, 16, 20, 20]
+
+
 def test_propagate_all_chunked_matches_fused(rng):
     """Uncapped seed rows: chunked streaming through a prebuilt T equals a
     single fused propagation of all rows (labels bit-equal)."""
