@@ -230,12 +230,19 @@ def apply_diag_chain(
     the stencil stays f32 end-to-end (1.6e-4, 100.000%). Alternatives
     measured and rejected: 2-D (dy, dx) slicing (33.5 ms — the pw=138
     row stride misaligns lanes), 256-aligned row stride (32.8 ms — 82%
-    padding overhead)."""
+    padding overhead); the round-4 headroom sweep
+    (tools/bench_stencil_sweep.py) also rejected one diagonal-operator
+    squaring (T^2 has 249 nonzero diagonals — the offset SUMSET, not
+    2x69 — so 128 applications of it cost 14.3 vs 10.4 ms: the chain is
+    VPU-throughput-bound, not loop-bound) and re-rejected image-batching
+    at the 8-row bucket (0.99x at B=2). The one sweep win kept: TWO
+    applications per loop body (9.07 vs 10.42 ms, same ops in the same
+    order — bit-identical results, half the loop trips)."""
     h = max(doffs)
     n = x.shape[-1]
     wpad = jnp.pad(w, ((0, 0), (h, h)))
 
-    def body(_, x):
+    def one(x):
         xpad = jnp.pad(x, ((0, 0), (h, h)))
         acc = x
         for k, d in enumerate(doffs):
@@ -246,7 +253,11 @@ def apply_diag_chain(
             )
         return acc * inv[None]
 
-    return jax.lax.fori_loop(0, n_apply, body, x)
+    if n_apply % 2 == 0:
+        return jax.lax.fori_loop(
+            0, n_apply // 2, lambda _, x: one(one(x)), x
+        )
+    return jax.lax.fori_loop(0, n_apply, lambda _, x: one(x), x)
 
 
 def diag_offsets(geom: RandomWalkGeometry) -> Tuple[int, ...]:

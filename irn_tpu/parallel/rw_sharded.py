@@ -343,6 +343,12 @@ def diag_apply_in_jit(
                 )
             return acc * inv_loc[None]
 
+        # two applications per loop body, like the single-device chain
+        # (13% on v5e, tools/bench_stencil_sweep.py; bit-identical)
+        if n_apply % 2 == 0:
+            return jax.lax.fori_loop(
+                0, n_apply // 2, lambda i, x: app(i, app(i, x)), x_loc
+            )
         return jax.lax.fori_loop(0, n_apply, app, x_loc)
 
     fn = jax.shard_map(
