@@ -66,7 +66,7 @@ def _sep_gauss(x: jax.Array, th: jax.Array, tw: jax.Array) -> jax.Array:
     jax.jit,
     static_argnames=("hw", "n_label_cap", "stride", "t", "sxy_gaussian",
                      "compat_gaussian", "sxy_bilateral", "srgb_bilateral",
-                     "compat_bilateral", "matmul_dtype"),
+                     "compat_bilateral", "matmul_dtype", "stream_kernel"),
 )
 def crf_pair_program(
     img_u8: jax.Array,        # [H, W, 3] uint8 (zero-padded to the bucket)
@@ -87,6 +87,7 @@ def crf_pair_program(
     srgb_bilateral: float = 5.0,
     compat_bilateral: float = 10.0,
     matmul_dtype: str = "bfloat16",
+    stream_kernel: bool = False,
 ) -> jax.Array:
     """Refine two hard label maps sharing one image; returns [2, H, W] i32.
 
@@ -132,9 +133,20 @@ def crf_pair_program(
     # (a non-64-multiple bucket would otherwise materialize the full
     # [N, S] f32 intermediates this chunking exists to bound)
     chunk = max(c for c in range(1, min(4096, n) + 1) if n % c == 0)
-    k_land, d_b = jax.lax.map(build_chunk, f_n.reshape(-1, chunk, 5))
-    k_land = k_land.reshape(n, -1)
-    d_b = d_b.reshape(n)                                    # [N] f32
+    f_chunks = f_n.reshape(-1, chunk, 5)
+    if stream_kernel:
+        # never materialize the [N, S] kernel (4.8 GB bf16 at the 384x512
+        # stride-4 bucket — each of the t iterations would re-read it from
+        # HBM, ~60 ms at v5e bandwidth): keep only the f32 row sums now
+        # and recompute kernel chunks fused with the per-iteration matmul.
+        # The recomputed bf16 chunks are the exact values build_chunk
+        # stores, so both modes decode bit-identically.
+        k_land = None
+        d_b = jax.lax.map(lambda f: build_chunk(f)[1], f_chunks).reshape(n)
+    else:
+        k_land, d_b = jax.lax.map(build_chunk, f_chunks)
+        k_land = k_land.reshape(n, -1)
+        d_b = d_b.reshape(n)                                # [N] f32
     nr_b = jax.lax.rsqrt(jnp.maximum(d_b, 1e-12)).reshape(h, w)
     nr_b = nr_b * valid
 
@@ -172,10 +184,18 @@ def crf_pair_program(
         # bilateral landmark message: one [N, S] @ [S, 2L] matmul
         qb = nr_b * qm                                      # [2, cap, H, W]
         q_land = qb[:, :, off::stride, off::stride].reshape(2 * cap, -1)
-        mb_flat = jnp.dot(
-            k_land, q_land.T.astype(mdt),
-            preferred_element_type=jnp.float32,
-        )                                                    # [N, 2L] f32
+        if stream_kernel:
+            qlT = q_land.T.astype(mdt)                       # [S, 2L]
+            mb_flat = jax.lax.map(
+                lambda f: jnp.dot(build_chunk(f)[0], qlT,
+                                  preferred_element_type=jnp.float32),
+                f_chunks,
+            ).reshape(n, -1)                                 # [N, 2L] f32
+        else:
+            mb_flat = jnp.dot(
+                k_land, q_land.T.astype(mdt),
+                preferred_element_type=jnp.float32,
+            )                                                # [N, 2L] f32
         mb = compat_bilateral * nr_b.reshape(n, 1) * mb_flat
         mb = mb.T.reshape(2, cap, h, w)
         q = jax.nn.softmax(u + mg + mb, axis=1)
@@ -198,6 +218,7 @@ class LandmarkCRF:
         pad_multiple: int = 64,
         n_label_cap: int = 21,
         matmul_dtype: str = "bfloat16",
+        stream_kernel: bool = False,
         device=None,
     ):
         self.stride = stride
@@ -205,6 +226,7 @@ class LandmarkCRF:
         self.pad_multiple = pad_multiple
         self.n_label_cap = n_label_cap
         self.matmul_dtype = matmul_dtype
+        self.stream_kernel = stream_kernel
         self.device = device
 
     def _bucket(self, h: int, w: int) -> Tuple[int, int]:
@@ -236,7 +258,8 @@ class LandmarkCRF:
             jnp.int32(h), jnp.int32(w), jnp.int32(n_labels),
             jnp.float32(gt_prob),
             hw=(ph, pw), n_label_cap=self.n_label_cap, stride=self.stride,
-            t=self.t, matmul_dtype=self.matmul_dtype, **kernel_kw,
+            t=self.t, matmul_dtype=self.matmul_dtype,
+            stream_kernel=self.stream_kernel, **kernel_kw,
         )
         out = np.asarray(out)
         return out[0, :h, :w], out[1, :h, :w]

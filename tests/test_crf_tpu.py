@@ -183,3 +183,23 @@ def test_ir_label_stage_backend_ab(tmp_path, rng):
     for name in names:
         agree = (outs["native"][name] == outs["tpu"][name]).mean()
         assert agree >= 0.90, (name, agree)
+
+
+def test_stream_kernel_bit_identical(rng):
+    """stream_kernel=True recomputes the bilateral kernel chunks fused
+    with each iteration's matmul instead of materializing the [N, S]
+    matrix (HBM-bound at production buckets); the recomputed bf16 chunks
+    are the same values the materialized path stores, so the decoded
+    labels must be bit-identical."""
+    from irn_tpu.ops import crf_tpu
+
+    img = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+    la = rng.integers(0, 4, (40, 48)).astype(np.int32)
+    lb = rng.integers(0, 4, (40, 48)).astype(np.int32)
+    kw = dict(stride=4, t=3, pad_multiple=8)
+    mat = crf_tpu.LandmarkCRF(**kw)
+    strm = crf_tpu.LandmarkCRF(stream_kernel=True, **kw)
+    a0, b0 = mat.pair(img, la, lb, n_labels=4)
+    a1, b1 = strm.pair(img, la, lb, n_labels=4)
+    np.testing.assert_array_equal(a0, a1)
+    np.testing.assert_array_equal(b0, b1)

@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--strides", type=int, nargs="+", default=[4, 6, 8])
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--size", type=int, nargs=2, default=[375, 500])
+    ap.add_argument("--stream", action="store_true",
+                    help="stream_kernel=True: recompute bilateral kernel "
+                         "chunks per iteration instead of re-reading the "
+                         "materialized [N, S] matrix from HBM")
     args = ap.parse_args()
 
     from irn_tpu.ops import crf, crf_tpu, native
@@ -74,7 +78,7 @@ def main():
         print(f"native lattice pair: {t_native*1000:7.1f} ms/img", flush=True)
 
     for stride in args.strides:
-        dev = crf_tpu.LandmarkCRF(stride=stride)
+        dev = crf_tpu.LandmarkCRF(stride=stride, stream_kernel=args.stream)
 
         def pass_once(chunk):
             outs = []
@@ -112,6 +116,7 @@ def main():
                 out = crf_tpu.crf_pair_program(
                     im, la_, lb_, jnp.int32(h), jnp.int32(w), jnp.int32(6),
                     jnp.float32(0.7), hw=(ph, pw), stride=stride,
+                    stream_kernel=args.stream,
                 )
                 sums.append(jnp.sum(out.astype(jnp.int32)))
             return float(sums[-1] + 0 * sums[0])
