@@ -47,14 +47,22 @@ class Config:
     conf_bg_thres: float = 0.05
     crf_iters: int = 10
     crf_gt_prob: float = 0.7
-    crf_backend: str = "native"           # 'native': host permutohedral
-                                          # lattice (threaded, pydensecrf
-                                          # parity); 'tpu': landmark-kernel
-                                          # mean field on device (exact
-                                          # separable Gaussian + stride-4
-                                          # landmark bilateral as one MXU
-                                          # matmul/iter; ~99% label
-                                          # agreement, ops/crf_tpu.py)
+    crf_backend: str = "auto"             # 'auto': 'tpu' when an
+                                          # accelerator is present, else
+                                          # 'native' — the chain A/B
+                                          # (tools/ab_crf_chain.py,
+                                          # BASELINE.md round-4) showed the
+                                          # backends are equivalent through
+                                          # train_irn + the walk, and the
+                                          # device path is 10-33x a host
+                                          # core. 'native': host
+                                          # permutohedral lattice (threaded,
+                                          # pydensecrf parity); 'tpu':
+                                          # landmark-kernel mean field on
+                                          # device (exact separable Gaussian
+                                          # + stride-4 landmark bilateral as
+                                          # one MXU matmul/iter; 99.97-99.98%
+                                          # label agreement, ops/crf_tpu.py)
     crf_landmark_stride: int = 4          # tpu backend: landmark subgrid
                                           # stride (spatial sigma is 50 px,
                                           # so 4 is already conservative)
@@ -198,6 +206,18 @@ class Config:
                 else in_repo(os.path.join("voc12", "cls_labels.npy"))
             )
         return self
+
+    def resolved_crf_backend(self) -> str:
+        """'auto' -> 'tpu' iff an accelerator backend is live.
+
+        Resolved lazily (NOT in :meth:`resolve`): touching
+        ``jax.default_backend()`` initializes the backend, which must not
+        happen before ``run.maybe_init_distributed``."""
+        if self.crf_backend != "auto":
+            return self.crf_backend
+        import jax
+
+        return "tpu" if jax.default_backend() != "cpu" else "native"
 
     def rw_matmul_jnp_dtype(self):
         import jax.numpy as jnp

@@ -456,12 +456,16 @@ def cam_to_ir_label(cfg: Config) -> None:
     """CAM -> confident inter-pixel relation seeds via dense CRF
     (step/cam_to_ir_label.py).
 
-    ``crf_backend='native'`` (default): CPU-bound; the native lattice
-    releases the GIL, so a thread pool gives real parallelism (the
-    reference fans out one process per CPU worker,
-    cam_to_ir_label.py:51-54). ``'tpu'``: the landmark-kernel mean field
-    (ops/crf_tpu.py) refines each fg/bg pair on device — host threads are
-    then only overlapping I/O with device steps."""
+    ``crf_backend='native'``: CPU-bound; the native lattice releases the
+    GIL, so a thread pool gives real parallelism (the reference fans out
+    one process per CPU worker, cam_to_ir_label.py:51-54). ``'tpu'``: the
+    landmark-kernel mean field (ops/crf_tpu.py) refines each fg/bg pair
+    on device — host threads are then only overlapping I/O with device
+    steps. The default ``'auto'`` picks 'tpu' whenever an accelerator is
+    present: the round-4 chain A/B (tools/ab_crf_chain.py) measured the
+    backends' end-of-chain sem_seg disagreement and mIoU delta inside
+    the train-seed noise band, so the residual 0.02-0.03% per-image CRF
+    disagreement is chain-harmless and the 10-33x device speedup wins."""
     from concurrent.futures import ThreadPoolExecutor
 
     from irn_tpu.ops import native as native_mod
@@ -471,7 +475,7 @@ def cam_to_ir_label(cfg: Config) -> None:
     )
     os.makedirs(cfg.ir_label_out_dir, exist_ok=True)
     n = len(ds)
-    if cfg.crf_backend == "tpu":
+    if cfg.resolved_crf_backend() == "tpu":
         from irn_tpu.ops import crf_tpu
 
         device_crf = crf_tpu.LandmarkCRF(

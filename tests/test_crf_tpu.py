@@ -203,3 +203,23 @@ def test_stream_kernel_bit_identical(rng):
     a1, b1 = strm.pair(img, la, lb, n_labels=4)
     np.testing.assert_array_equal(a0, a1)
     np.testing.assert_array_equal(b0, b1)
+
+
+def test_crf_backend_auto_resolution(monkeypatch):
+    """'auto' (the round-4 default) resolves against the live JAX backend
+    lazily: 'native' on CPU hosts, 'tpu' whenever an accelerator is
+    present; explicit values pass through untouched."""
+    from irn_tpu.pipeline.config import Config
+
+    cfg = Config()
+    assert cfg.crf_backend == "auto"
+    assert cfg.resolved_crf_backend() == "native"  # conftest pins CPU
+
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert cfg.resolved_crf_backend() == "tpu"
+
+    for explicit in ("native", "tpu"):
+        assert dataclasses.replace(
+            cfg, crf_backend=explicit).resolved_crf_backend() == explicit
