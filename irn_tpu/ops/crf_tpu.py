@@ -140,7 +140,12 @@ def crf_pair_program(
         # HBM, ~60 ms at v5e bandwidth): keep only the f32 row sums now
         # and recompute kernel chunks fused with the per-iteration matmul.
         # The recomputed bf16 chunks are the exact values build_chunk
-        # stores, so both modes decode bit-identically.
+        # stores, so both modes decode bit-identically. MEASURED AND
+        # REFUTED as a default on v5e: 357 vs 131.5 ms/img at stride 4
+        # (tools/bench_crf.py --stream, BASELINE.md round-4) — the VPU
+        # exp recompute (~2.4e9 transcendentals/iteration) costs ~4x the
+        # HBM re-reads it saves. Kept for HBM-constrained cases (the
+        # materialized matrix is the wrapper's largest live buffer).
         k_land = None
         d_b = jax.lax.map(lambda f: build_chunk(f)[1], f_chunks).reshape(n)
     else:
