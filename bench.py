@@ -220,8 +220,8 @@ def bench_make_ins_seg(rng):
     from irn_tpu.pipeline.stages_irn import (
         EdgeDisplacementRunner,
         RandomWalkRunner,
-        _advect_pack_program,
-        _walk_pack,
+        _seed_build,
+        _walk_unpack_np,
     )
 
     cfg = Config(model_dtype="bfloat16", rw_matmul_dtype="bfloat16")
@@ -232,7 +232,6 @@ def bench_make_ins_seg(rng):
     )
     runner = EdgeDisplacementRunner(cfg, variables)
     walker = RandomWalkRunner(cfg, n_seed_rows=cfg.ins_seed_cap)
-    advect_pack = _advect_pack_program()
 
     n_images, n_passes = 8, 2
     imgs = []
@@ -258,23 +257,29 @@ def bench_make_ins_seg(rng):
     eargs = (jnp.int32(375), jnp.int32(500), jnp.int32(94), jnp.int32(125))
 
     def one(i):
-        edge, dp = runner._run(imgs[i], *eargs)
-        pack = np.asarray(advect_pack(dp, jnp.int32(94), jnp.int32(125)))[
-            :, :94, :125
-        ]
-        instance_map = cent_mod.cluster_centroids(
-            pack[:2].astype(np.int32), pack[2:]
+        # the round-4 3-dispatch flow exactly as work_one runs it:
+        # (forward + advect + uint8 pack) | (seed build from C cam rows +
+        # K uint8 masks) | (walk + decode + uint16 pack)
+        edge, pack_dev = runner._run_advect(imgs[i], *eargs)
+        pack = np.asarray(pack_dev)[:, :94, :125]
+        instance_map = cent_mod.cluster_centroids_from_basin(
+            pack[:2].astype(np.int32), pack[2]
         )
-        seeds = cent_mod.mask_scores_by_instance(cam_sets[i], instance_map)
-        labels, best = walker.propagate_all(
-            seeds, edge, 94, 125, (375, 500), 0.25
-        )
-        wpack = np.asarray(_walk_pack(labels, best))
+        camp = np.zeros((cam_sets[i].shape[0], 96, 128), np.float32)
+        camp[:, :94, :125] = cam_sets[i]
+        maskp = np.zeros((instance_map.shape[0], 96, 128), np.uint8)
+        maskp[:, :94, :125] = instance_map
+        seeds = _seed_build(jnp.asarray(camp), jnp.asarray(maskp))
+        labels_np, best_np = _walk_unpack_np(np.asarray(
+            walker.propagate_all(
+                seeds, edge, 94, 125, (375, 500), 0.25, packed=True
+            )
+        ))
         comp_map, comp_rows, comp_sizes = cent_mod.split_components(
-            wpack[0].astype(np.int32), seeds.shape[0]
+            labels_np, seeds.shape[0]
         )
         scores = np.zeros(comp_rows.shape[0] + 1, np.float32)
-        np.maximum.at(scores, comp_map.reshape(-1), wpack[1].reshape(-1))
+        np.maximum.at(scores, comp_map.reshape(-1), best_np.reshape(-1))
         return scores
 
     one(len(imgs) - 1)  # compile warmup on the dedicated input

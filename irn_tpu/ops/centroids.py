@@ -174,11 +174,26 @@ def cluster_centroids(
     """[K, H, W] boolean one-hot instance masks (K includes the 0 bucket of
     pixels whose centroid escaped every basin)."""
     strength = np.sqrt(dp[0] ** 2 + dp[1] ** 2)
-    h, w = strength.shape
-    basin = (strength < thres).astype(np.uint8)
-    basin_labels, _ = cc.label_components(basin)
+    return cluster_centroids_from_basin(
+        centroids, (strength < thres).astype(np.uint8)
+    )
+
+
+def cluster_centroids_from_basin(
+    centroids: np.ndarray, basin: np.ndarray
+) -> np.ndarray:
+    """:func:`cluster_centroids` from a precomputed basin mask.
+
+    The stage's advection program evaluates the ``|dp| < 2.5`` predicate
+    on device with the same f32 sqrt (uint8 fetch instead of the f32
+    displacement planes); the clustering itself is unchanged."""
+    h, w = basin.shape
+    basin_labels, _ = cc.label_components(basin.astype(np.uint8))
     flat = basin_labels.reshape(-1)
-    centroid_flat = centroids[0].reshape(-1) * w + centroids[1].reshape(-1)
+    centroid_flat = (
+        centroids[0].astype(np.int64).reshape(-1) * w
+        + centroids[1].astype(np.int64).reshape(-1)
+    )
     clusters = flat[centroid_flat].reshape(h, w)
     cluster_map = compress_range(clusters + 1)
     return cc.to_one_hot(cluster_map)

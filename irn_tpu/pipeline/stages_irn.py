@@ -259,8 +259,56 @@ class EdgeDisplacementRunner:
             d = dp.reshape(b, 2, cap, cap, 2)
             return jax.vmap(fuse)(e, d, h4, w4)
 
+        def advect_pack_tail(dp, h4, w4):
+            # the make_ins_seg advection pack (see _advect_pack_program's
+            # docstring for the uint8 layout/gating)
+            cent = cent_mod.find_centroids_bounded(
+                dp, h4, w4, iterations=300
+            )
+            if cap <= 255:
+                basin = jnp.sqrt(dp[0] ** 2 + dp[1] ** 2) < jnp.float32(2.5)
+                return jnp.concatenate(
+                    [cent.astype(jnp.uint8), basin[None].astype(jnp.uint8)],
+                    axis=0,
+                )
+            return jnp.concatenate([cent.astype(jnp.float32), dp], axis=0)
+
+        @jax.jit
+        def run_advect(img_u8: jax.Array, h_px: jax.Array, w_px: jax.Array,
+                       h4: jax.Array, w4: jax.Array):
+            # forward + advection in ONE program: the dp field never
+            # leaves the device and the stage pays one dispatch instead
+            # of two (through a relay-style transport each program
+            # boundary costs ~10-30 ms — round-4 breakdown)
+            pair = prep(img_u8, h_px, w_px)
+            edge_logit, dp_raw = self.model.apply(
+                self.variables, pair, apply_mean_shift=True
+            )
+            edge, dp = fuse(edge_logit[..., 0], dp_raw, h4, w4)
+            return edge, advect_pack_tail(dp, h4, w4)
+
         self._run = run
         self._run_batch = run_batch
+        self._run_advect = run_advect
+
+    def with_advect(self, img_u8: np.ndarray, size: Tuple[int, int],
+                    device=None):
+        """:meth:`__call__` fused with the instance stage's advection
+        pack: returns (edge, pack, (h4, w4)) with ``pack`` the device
+        [3, cap, cap] uint8 (cy, cx, basin) array (f32 layout beyond
+        255-cell grids)."""
+        cap_px = self.cap * 4
+        h, w, _ = img_u8.shape
+        assert h <= cap_px and w <= cap_px, (h, w, cap_px)
+        padded = np.pad(img_u8, ((0, cap_px - h), (0, cap_px - w), (0, 0)))
+        if device is not None:
+            padded = jax.device_put(padded, device)
+        h4 = (size[0] - 1) // 4 + 1
+        w4 = (size[1] - 1) // 4 + 1
+        edge, pack = self._run_advect(
+            padded, jnp.int32(h), jnp.int32(w), jnp.int32(h4), jnp.int32(w4)
+        )
+        return edge, pack, (h4, w4)
 
     def __call__(self, img_u8: np.ndarray, size: Tuple[int, int],
                  device=None):
@@ -449,8 +497,8 @@ class RandomWalkRunner:
             return "mesh_banded"
         return "dense"
 
-    def _program(self, cap_h: int, cap_w: int):
-        key = (cap_h, cap_w)
+    def _program(self, cap_h: int, cap_w: int, packed: bool = False):
+        key = (cap_h, cap_w, "packed") if packed else (cap_h, cap_w)
         with self._lock:
             if key in self._programs:
                 return self._programs[key]
@@ -458,8 +506,8 @@ class RandomWalkRunner:
             mesh = self.mesh
             sq, banded = self._resolve(geom)
 
-            @jax.jit
-            def run(cam: jax.Array, edge: jax.Array, h4, w4, h0, w0, bg_thres):
+            def core(cam: jax.Array, edge: jax.Array, h4, w4, h0, w0,
+                     bg_thres):
                 if banded:
                     rw = rw_mod.propagate_banded(
                         geom, cam, edge, beta=self.beta,
@@ -481,6 +529,16 @@ class RandomWalkRunner:
                 # propagate_all
                 return labels, jnp.max(rw_up, axis=0)
 
+            if packed:
+                # decode ends in the uint16 (labels, best-bitcast) pack
+                # INSIDE the walk program: one dispatch + one fetch for
+                # the whole per-image walk (make_ins_seg; through a
+                # relay-style transport every program boundary costs
+                # ~10-30 ms of dispatch/fetch overhead — the round-4
+                # breakdown found call COUNT, not bytes, dominating)
+                run = jax.jit(lambda *a: _walk_pack(*core(*a)))
+            else:
+                run = jax.jit(core)
             self._programs[key] = run
             return run
 
@@ -572,8 +630,7 @@ class RandomWalkRunner:
                     jnp.max(rw_up),
                 )
 
-            @jax.jit
-            def decode(best_val, best_row, gmax, bg_thres):
+            def decode_core(best_val, best_row, gmax, bg_thres):
                 # same division the fused decode performs (rw_up/max_score
                 # then argmax vs the bg_thres plane), so marginal pixels
                 # decode identically
@@ -583,13 +640,18 @@ class RandomWalkRunner:
                 ).astype(jnp.int32)
                 return labels, norm
 
-            progs = (build_t, chunk, decode)
+            decode = jax.jit(decode_core)
+            # packed twin: decode + uint16 pack in ONE program (see
+            # _program's packed variant)
+            decode_packed = jax.jit(lambda *a: _walk_pack(*decode_core(*a)))
+
+            progs = (build_t, chunk, decode, decode_packed)
             self._programs[key] = progs
             return progs
 
     def propagate_all(self, cam_rows: np.ndarray, edge: jax.Array,
                       h4: int, w4: int, size: Tuple[int, int],
-                      bg_thres: float, device=None):
+                      bg_thres: float, device=None, packed: bool = False):
         """Uncapped variant of ``__call__``: any number of seed rows.
 
         K <= n_rows runs the fused single program; larger K builds T once
@@ -599,11 +661,12 @@ class RandomWalkRunner:
         int32, best [4ch, 4cw] winning score / global max)."""
         k = cam_rows.shape[0]
         if k <= self.n_rows:
-            return self(cam_rows, edge, h4, w4, size, bg_thres, device=device)
+            return self(cam_rows, edge, h4, w4, size, bg_thres,
+                        device=device, packed=packed)
 
         ch = self._bucket(h4)
         cw = self._bucket(w4)
-        build_t, chunk, decode = self._chunk_programs(ch, cw)
+        build_t, chunk, decode, decode_packed = self._chunk_programs(ch, cw)
         edge_b = jnp.asarray(edge)[:ch, :cw]
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -621,20 +684,34 @@ class RandomWalkRunner:
             best_val = jax.device_put(best_val, device)
             best_row = jax.device_put(best_row, device)
         gmax = jnp.float32(0.0)
+        on_device = isinstance(cam_rows, jax.Array)
+        if on_device:
+            assert self.mesh is None, "device seeds unsupported in mesh mode"
+            assert cam_rows.shape[1:] == (ch, cw), (cam_rows.shape, ch, cw)
         for row0 in range(0, k, self.n_rows):
-            cam = np.zeros((self.n_rows, ch, cw), np.float32)
-            rows = cam_rows[row0 : row0 + self.n_rows]
-            cam[: rows.shape[0], :h4, :w4] = rows
-            cam_in = jnp.asarray(cam)
-            if device is not None and self.mesh is None:
-                cam_in = jax.device_put(cam_in, device)
+            if on_device:
+                rows = cam_rows[row0 : row0 + self.n_rows]
+                short = self.n_rows - rows.shape[0]
+                cam_in = (
+                    jnp.pad(rows, ((0, short), (0, 0), (0, 0)))
+                    if short else rows
+                )
+            else:
+                cam = np.zeros((self.n_rows, ch, cw), np.float32)
+                rows = cam_rows[row0 : row0 + self.n_rows]
+                cam[: rows.shape[0], :h4, :w4] = rows
+                cam_in = jnp.asarray(cam)
+                if device is not None and self.mesh is None:
+                    cam_in = jax.device_put(cam_in, device)
             best_val, best_row, cmax = chunk(
                 cam_in, edge_b, t, jnp.int32(h4), jnp.int32(w4),
                 jnp.int32(size[0]), jnp.int32(size[1]), jnp.int32(row0),
                 best_val, best_row,
             )
             gmax = jnp.maximum(gmax, cmax)
-        return decode(best_val, best_row, gmax, jnp.float32(bg_thres))
+        return (decode_packed if packed else decode)(
+            best_val, best_row, gmax, jnp.float32(bg_thres)
+        )
 
     def _bucket(self, x: int) -> int:
         b = ((x + self.BUCKET - 1) // self.BUCKET) * self.BUCKET
@@ -642,7 +719,7 @@ class RandomWalkRunner:
 
     def __call__(self, cam_rows: np.ndarray, edge: jax.Array,
                  h4: int, w4: int, size: Tuple[int, int], bg_thres: float,
-                 device=None):
+                 device=None, packed: bool = False):
         """cam_rows: [K, h4, w4] seeds (K <= n_rows); edge [cap, cap] with
         1.0 beyond extent. Returns (labels [4ch, 4cw] in 0..K,
         best [4ch, 4cw] per-pixel winning upsampled score — the row a
@@ -657,6 +734,23 @@ class RandomWalkRunner:
         k = cam_rows.shape[0]
         assert k <= self.n_rows, (k, self.n_rows)
         assert h4 <= ch and w4 <= cw, (h4, w4, ch, cw)
+        if isinstance(cam_rows, jax.Array):
+            # device-built seeds (make_ins_seg: cams x instance masks
+            # multiply out ON device, already at bucket dims — the dense
+            # K*C rows never cross the transport). Mesh mode keeps the
+            # host path (seeds would need explicit replication).
+            assert self.mesh is None, "device seeds unsupported in mesh mode"
+            assert cam_rows.shape[1:] == (ch, cw), (cam_rows.shape, ch, cw)
+            cam_in = cam_rows
+            edge_b = jnp.asarray(edge)[:ch, :cw]
+            if device is not None:
+                edge_b = jax.device_put(edge_b, device)
+            cam_in = self._row_pad(k, ch, cw)(cam_in)
+            return self._program(ch, cw, packed)(
+                cam_in, edge_b, jnp.int32(h4), jnp.int32(w4),
+                jnp.int32(size[0]), jnp.int32(size[1]),
+                jnp.float32(bg_thres),
+            )
         # upload only the true K seed rows (K = classes present, typically
         # 1-3): through the relay transport ~1 MB/image of zero padding
         # cost more than the walk's decode; the row pad to the row bucket
@@ -675,11 +769,10 @@ class RandomWalkRunner:
         elif device is not None:
             cam_in = jax.device_put(cam_in, device)
         cam_in = self._row_pad(k, ch, cw)(cam_in)
-        labels, rw_up = self._program(ch, cw)(
+        return self._program(ch, cw, packed)(
             cam_in, edge_b, jnp.int32(h4), jnp.int32(w4),
             jnp.int32(size[0]), jnp.int32(size[1]), jnp.float32(bg_thres),
         )
-        return labels, rw_up
 
     def _row_bucket(self, k: int) -> int:
         """Smallest power-of-two bucket (from ROW_BUCKET, capped at
@@ -795,26 +888,74 @@ def make_sem_seg_labels(cfg: Config) -> None:
 
 
 def _advect_pack_program():
-    """One-fetch advection: centroids (exact in f32 — grid coords < 2^24)
-    stacked over the displacement field, so the stage pays ONE
-    device->host round trip for both instead of two (each fetch is a
-    relay/PCIe round trip; the bytes are identical)."""
+    """One-fetch advection: centroids + the basin mask, packed uint8.
+
+    The host clustering (cluster_centroids_from_basin) needs only the
+    rounded converged coordinates and the ``|dp| < 2.5`` basin predicate —
+    not the displacement field itself — and grid coordinates fit uint8 at
+    every bucket <= 255 cells, so the fetch is [3, H, W] uint8 (49 KB at
+    the 128^2 cap) instead of the round-3 [4, H, W] f32 (262 KB; through
+    the serial ~44 MB/s relay the bytes ARE the stage's critical path).
+    Grids beyond 255 cells (rw_grid_cap > 255 with a matching mesh walk)
+    keep the f32 layout — callers distinguish by dtype. The basin
+    predicate uses the same f32 sqrt the host computed (IEEE
+    correctly-rounded on both sides), so the mask is bit-equal."""
 
     @jax.jit
-    def run(dp: jax.Array, h4: jax.Array, w4: jax.Array) -> jax.Array:
+    def run_u8(dp: jax.Array, h4: jax.Array, w4: jax.Array) -> jax.Array:
+        cent = cent_mod.find_centroids_bounded(dp, h4, w4, iterations=300)
+        basin = jnp.sqrt(dp[0] ** 2 + dp[1] ** 2) < jnp.float32(2.5)
+        return jnp.concatenate(
+            [cent.astype(jnp.uint8), basin[None].astype(jnp.uint8)], axis=0
+        )
+
+    @jax.jit
+    def run_f32(dp: jax.Array, h4: jax.Array, w4: jax.Array) -> jax.Array:
         cent = cent_mod.find_centroids_bounded(dp, h4, w4, iterations=300)
         return jnp.concatenate([cent.astype(jnp.float32), dp], axis=0)
+
+    def run(dp: jax.Array, h4: jax.Array, w4: jax.Array) -> jax.Array:
+        if max(dp.shape[1], dp.shape[2]) <= 255:
+            return run_u8(dp, h4, w4)
+        return run_f32(dp, h4, w4)
 
     return run
 
 
 @jax.jit
 def _walk_pack(labels: jax.Array, best: jax.Array) -> jax.Array:
-    """[2, 4ch, 4cw] f32 stack of (labels, best) — one fetch. Label ids
-    are < 2^24, exact through the f32 round trip."""
+    """[3, 4ch, 4cw] uint16 stack of (labels, best) — one fetch, lossless.
+
+    Row ids fit uint16 (seed rows are bounded well under 2^16); the f32
+    winning-score plane travels bitcast as two uint16 planes. 1.18 MB at
+    the 512^2 bucket vs 1.57 MB for the round-3 f32 pair — the relay pays
+    per byte. :func:`_walk_unpack_np` restores (labels i32, best f32)."""
+    b16 = jax.lax.bitcast_convert_type(best, jnp.uint16)  # [H, W, 2]
     return jnp.concatenate(
-        [labels.astype(jnp.float32)[None], best[None]], axis=0
+        [labels.astype(jnp.uint16)[None], jnp.moveaxis(b16, -1, 0)], axis=0
     )
+
+
+def _walk_unpack_np(wpack: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host inverse of :func:`_walk_pack`: (labels int32, best f32)."""
+    labels = wpack[0].astype(np.int32)
+    best = (
+        np.ascontiguousarray(np.stack([wpack[1], wpack[2]], axis=-1))
+        .view(np.float32)[..., 0]
+    )
+    return labels, best
+
+
+@jax.jit
+def _seed_build(cams: jax.Array, masks: jax.Array) -> jax.Array:
+    """Device (instance x class) seed rows: cams [C, ch, cw] f32 times
+    instance masks [K, ch, cw] uint8 -> [C*K, ch, cw] f32, the reference's
+    class-major interleaving (cent_mod.mask_scores_by_instance /
+    make_ins_seg_labels.py:135). Uploading C cam rows + K uint8 masks and
+    multiplying on device replaces the round-3 dense K*C f32 seed upload
+    (~590 KB -> ~250 KB at typical K, C through the byte-priced relay)."""
+    seeds = cams[:, None] * masks[None].astype(cams.dtype)
+    return seeds.reshape(-1, cams.shape[1], cams.shape[2])
 
 
 def make_ins_seg_labels(cfg: Config) -> None:
@@ -838,7 +979,7 @@ def make_ins_seg_labels(cfg: Config) -> None:
 
     n = len(ds)
 
-    def work_one(i, sample, edge, dp, h4, w4, dev) -> None:
+    def work_one(i, sample, edge, pack_dev, h4, w4, dev) -> None:
         name = sample["name"]
         out_path = os.path.join(cfg.ins_seg_out_dir, name + ".npy")
         img_u8 = sample["img"].astype(np.uint8)
@@ -850,29 +991,46 @@ def make_ins_seg_labels(cfg: Config) -> None:
         cams = np.asarray(cam_dict["cam"], np.float32)
         keys = np.asarray(cam_dict["keys"])
 
-        pack = np.asarray(
-            advect_pack(dp, jnp.int32(h4), jnp.int32(w4))
-        )[:, :h4, :w4]
+        pack = np.asarray(pack_dev)[:, :h4, :w4]
         cent = pack[:2].astype(np.int32)
-        dp_np = pack[2:]
-        instance_map = cent_mod.cluster_centroids(cent, dp_np)
+        if pack.dtype == np.uint8:
+            instance_map = cent_mod.cluster_centroids_from_basin(
+                cent, pack[2]
+            )
+        else:  # legacy f32 pack (grids beyond uint8 coordinates)
+            instance_map = cent_mod.cluster_centroids(cent, pack[2:])
         num_instances = instance_map.shape[0]
 
-        seeds = cent_mod.mask_scores_by_instance(cams, instance_map)
         # no seed cap: propagate_all streams any (instances x classes) row
         # count through a fixed-shape chunk program (T is seed-independent)
-        labels, best = walker.propagate_all(
-            seeds, edge, h4, w4, size, cfg.ins_seg_bg_thres, device=dev
-        )
-
+        if walker.mesh is None:
+            # build the dense K*C seed rows ON device from C cam rows +
+            # K uint8 masks (_seed_build) — the transport never carries
+            # the product
+            ch, cw = walker._bucket(h4), walker._bucket(w4)
+            camp = np.zeros((cams.shape[0], ch, cw), np.float32)
+            camp[:, :h4, :w4] = cams
+            maskp = np.zeros((num_instances, ch, cw), np.uint8)
+            maskp[:, :h4, :w4] = instance_map
+            cam_dev = jnp.asarray(camp)
+            mask_dev = jnp.asarray(maskp)
+            if dev is not None:
+                cam_dev = jax.device_put(cam_dev, dev)
+                mask_dev = jax.device_put(mask_dev, dev)
+            seeds = _seed_build(cam_dev, mask_dev)
+        else:
+            seeds = cent_mod.mask_scores_by_instance(cams, instance_map)
         # Only the label map + the [4ch, 4cw] winning-score map cross
-        # device->host (~2 MB in one fetch, vs the [n_rows, 4ch, 4cw]
-        # score volume). At any pixel a component owns, its row IS the
-        # per-pixel argmax, so the winning-score map carries every
-        # per-component max.
-        wpack = np.asarray(_walk_pack(labels, best))
-        labels_full = wpack[0].astype(np.int32)  # 0 beyond extent
-        best_np = wpack[1]
+        # device->host (one lossless uint16 fetch, vs the [n_rows, 4ch,
+        # 4cw] score volume — and the pack rides INSIDE the walk program,
+        # packed=True, so the whole walk is one dispatch + one fetch). At
+        # any pixel a component owns, its row IS the per-pixel argmax, so
+        # the winning-score map carries every per-component max.
+        wpack = np.asarray(walker.propagate_all(
+            seeds, edge, h4, w4, size, cfg.ins_seg_bg_thres, device=dev,
+            packed=True,
+        ))
+        labels_full, best_np = _walk_unpack_np(wpack)  # 0 beyond extent
         n_rows = seeds.shape[0]
         instance_class_id = np.repeat(keys, num_instances)
 
@@ -921,9 +1079,18 @@ def make_ins_seg_labels(cfg: Config) -> None:
         samples = [ds[i] for i in block]
         imgs = [s["img"].astype(np.uint8) for s in samples]
         sizes = [im.shape[:2] for im in imgs]
-        fw = runner.batch(imgs, sizes, device=dev)
-        for i, sample, (edge, dp, (h4, w4)) in zip(block, samples, fw):
-            work_one(i, sample, edge, dp, h4, w4, dev)
+        if runner.batch_size == 1 or len(imgs) == 1:
+            # default path: forward + advection fused into one program
+            for i, sample, im, sz in zip(block, samples, imgs, sizes):
+                edge, pack_dev, (h4, w4) = runner.with_advect(
+                    im, sz, device=dev
+                )
+                work_one(i, sample, edge, pack_dev, h4, w4, dev)
+        else:
+            fw = runner.batch(imgs, sizes, device=dev)
+            for i, sample, (edge, dp, (h4, w4)) in zip(block, samples, fw):
+                pack_dev = advect_pack(dp, jnp.int32(h4), jnp.int32(w4))
+                work_one(i, sample, edge, pack_dev, h4, w4, dev)
 
     with ThreadPoolExecutor(max_workers=max(2, 2 * len(spread))) as pool:
         list(pool.map(work, enumerate(blocks)))

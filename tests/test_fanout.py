@@ -267,3 +267,134 @@ def test_make_sem_seg_fanout_and_mesh_identical(tmp_path, rng):
     for tag in ("all", "mesh"):
         for n, want in outs["one"].items():
             np.testing.assert_array_equal(outs[tag][n], want, err_msg=(tag, n))
+
+
+def test_walk_pack_uint16_roundtrip(rng):
+    """The uint16 (labels, best-bitcast) pack is lossless: labels beyond
+    255 and arbitrary f32 scores survive the round trip exactly."""
+    from irn_tpu.pipeline.stages_irn import _walk_pack, _walk_unpack_np
+
+    labels = rng.integers(0, 700, (24, 20)).astype(np.int32)
+    best = (rng.standard_normal((24, 20)) * 1e3).astype(np.float32)
+    best[0, :4] = [0.0, -0.0, 1e-38, 3.4e38]
+    l2, b2 = _walk_unpack_np(
+        np.asarray(_walk_pack(jnp.asarray(labels), jnp.asarray(best)))
+    )
+    np.testing.assert_array_equal(l2, labels)
+    np.testing.assert_array_equal(b2, best)
+
+
+def test_advect_pack_u8_matches_legacy(rng):
+    """The uint8 (cy, cx, basin) advect pack drives clustering to the SAME
+    instance masks as the round-3 f32 (cy, cx, dp) pack: coordinates are
+    exact in uint8 at <=255-cell grids and the basin predicate is the
+    same f32 sqrt on both sides."""
+    from irn_tpu.ops import centroids as cent_mod
+    from irn_tpu.pipeline.stages_irn import _advect_pack_program
+
+    h4, w4 = 14, 12
+    dp = (rng.standard_normal((2, 16, 16)) * 3).astype(np.float32)
+    pack = _advect_pack_program()(
+        jnp.asarray(dp), jnp.int32(h4), jnp.int32(w4)
+    )
+    pack = np.asarray(pack)[:, :h4, :w4]
+    assert pack.dtype == np.uint8
+    cent = pack[:2].astype(np.int32)
+    inst_new = cent_mod.cluster_centroids_from_basin(cent, pack[2])
+
+    # legacy: host threshold on the fetched displacement planes
+    from irn_tpu.ops.centroids import find_centroids_bounded
+
+    cent_ref = np.asarray(
+        find_centroids_bounded(
+            jnp.asarray(dp), jnp.int32(h4), jnp.int32(w4), 300
+        )
+    )[:, :h4, :w4]
+    np.testing.assert_array_equal(cent, cent_ref)
+    inst_old = cent_mod.cluster_centroids(cent_ref, dp[:, :h4, :w4])
+    np.testing.assert_array_equal(inst_new, inst_old)
+
+
+def test_device_seeds_match_host_seeds(rng):
+    """propagate_all fed device-built seed rows (_seed_build: C cam rows x
+    K uint8 masks, bucket dims) decodes bit-identically to the host dense
+    K*C seed path — fused AND chunked."""
+    from irn_tpu.ops import centroids as cent_mod
+    from irn_tpu.pipeline.stages_irn import _seed_build
+
+    base = dict(rw_grid_cap=16, exp_times=3, rw_radius=2)
+    h4, w4 = 14, 12
+    ch = cw = 16
+    size = (54, 46)
+    edge = np.ones((16, 16), np.float32)
+    edge[:h4, :w4] = rng.random((h4, w4)).astype(np.float32)
+    cams = rng.random((3, h4, w4)).astype(np.float32)
+    masks = (rng.random((4, h4, w4)) < 0.4).astype(np.uint8)  # K=4
+
+    host_seeds = cent_mod.mask_scores_by_instance(
+        cams, masks.astype(bool)
+    )  # [12, h4, w4]
+    camp = np.zeros((3, ch, cw), np.float32)
+    camp[:, :h4, :w4] = cams
+    maskp = np.zeros((4, ch, cw), np.uint8)
+    maskp[:, :h4, :w4] = masks
+    dev_seeds = _seed_build(jnp.asarray(camp), jnp.asarray(maskp))
+    assert dev_seeds.shape == (12, ch, cw)
+
+    for n_rows in (16, 4):  # fused, then 3-chunk streaming
+        w = RandomWalkRunner(Config(**base), n_seed_rows=n_rows)
+        lh, bh = w.propagate_all(
+            host_seeds, jnp.asarray(edge), h4, w4, size, 0.25
+        )
+        ld, bd = w.propagate_all(
+            dev_seeds, jnp.asarray(edge), h4, w4, size, 0.25
+        )
+        np.testing.assert_array_equal(np.asarray(lh), np.asarray(ld))
+        np.testing.assert_array_equal(np.asarray(bh), np.asarray(bd))
+
+
+def test_packed_walk_matches_unpacked(rng):
+    """packed=True (uint16 pack fused into the walk/decode program) must
+    round-trip to exactly the unpacked (labels, best) pair — fused AND
+    chunked paths."""
+    from irn_tpu.pipeline.stages_irn import _walk_unpack_np
+
+    base = dict(rw_grid_cap=16, exp_times=3, rw_radius=2)
+    h4, w4 = 14, 12
+    size = (54, 46)
+    edge = np.ones((16, 16), np.float32)
+    edge[:h4, :w4] = rng.random((h4, w4)).astype(np.float32)
+    seeds = rng.random((10, h4, w4)).astype(np.float32)
+
+    for n_rows in (16, 4):
+        w = RandomWalkRunner(Config(**base), n_seed_rows=n_rows)
+        labels, best = w.propagate_all(
+            seeds, jnp.asarray(edge), h4, w4, size, 0.25
+        )
+        lp, bp = _walk_unpack_np(np.asarray(w.propagate_all(
+            seeds, jnp.asarray(edge), h4, w4, size, 0.25, packed=True
+        )))
+        np.testing.assert_array_equal(np.asarray(labels), lp)
+        np.testing.assert_array_equal(np.asarray(best), bp)
+
+
+def test_with_advect_matches_separate_programs(rng):
+    """EdgeDisplacementRunner.with_advect (forward + advection in one
+    program) must equal __call__ followed by the standalone advect pack
+    program bit-for-bit."""
+    from irn_tpu.pipeline.stages_irn import _advect_pack_program
+
+    cfg = Config(rw_grid_cap=16)
+    variables = _tiny_irn_variables()
+    runner = EdgeDisplacementRunner(cfg, variables)
+    img = (rng.random((54, 46, 3)) * 255).astype(np.uint8)
+
+    edge_a, dp, (h4, w4) = runner(img, (54, 46))
+    pack_a = np.asarray(
+        _advect_pack_program()(dp, jnp.int32(h4), jnp.int32(w4))
+    )
+    edge_b, pack_b, (h4b, w4b) = runner.with_advect(img, (54, 46))
+    assert (h4, w4) == (h4b, w4b)
+    np.testing.assert_array_equal(np.asarray(edge_a), np.asarray(edge_b))
+    assert np.asarray(pack_b).dtype == np.uint8
+    np.testing.assert_array_equal(pack_a, np.asarray(pack_b))
