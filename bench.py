@@ -204,11 +204,20 @@ def bench_make_ins_seg(rng):
 
     Unlike the sem-seg figure this one is NOT device-resident-only: the
     stage's host CC sits on the critical path, so the figure includes the
-    two per-image device->host round trips (~2.2 MB; through this relay
-    that transport alone is ~50 ms/img — co-located hosts pay ~60 us).
+    per-image device->host round trips (co-located hosts pay ~60 us).
     Seeds are smooth Gaussian-bump cams (2 classes — uniform-noise cams
     decode to hundreds of speckle components and benchmark the host CC
-    instead of the stage)."""
+    instead of the stage).
+
+    Basin realism: a random-initialized IRNet's displacement field has
+    |dp| >= 2.5 almost everywhere, so the fetched basin plane is empty and
+    clustering degenerates to K=1 (2 seed rows — the round-3 figure
+    measured that). Production images carry 2-8 instances and the
+    stencil walk is linear in seed rows, so the fetched basin plane is
+    replaced host-side with 4 synthetic basin disks (the device flow —
+    forward, advection, pack, seed build, walk — is untouched; only the
+    host clustering input changes, exactly where trained-weight structure
+    would enter)."""
     from concurrent.futures import ThreadPoolExecutor
 
     import jax
@@ -253,6 +262,16 @@ def bench_make_ins_seg(rng):
         return np.stack(out).astype(np.float32)[:, :94, :125]
 
     cam_sets = [blob_cams() for _ in range(n_images * n_passes + 1)]
+
+    def blob_basins(k=4):
+        m = np.zeros((94, 125), np.uint8)
+        for _ in range(k):
+            cy, cx = rng.uniform(10, 84), rng.uniform(10, 115)
+            m[(yy[:94, :125] - cy) ** 2 + (xx[:94, :125] - cx) ** 2
+              < rng.uniform(3, 7) ** 2] = 1
+        return m
+
+    basin_sets = [blob_basins() for _ in range(n_images * n_passes + 1)]
     float(imgs[-1][0, 0, 0])
     eargs = (jnp.int32(375), jnp.int32(500), jnp.int32(94), jnp.int32(125))
 
@@ -263,12 +282,18 @@ def bench_make_ins_seg(rng):
         edge, pack_dev = runner._run_advect(imgs[i], *eargs)
         pack = np.asarray(pack_dev)[:, :94, :125]
         instance_map = cent_mod.cluster_centroids_from_basin(
-            pack[:2].astype(np.int32), pack[2]
+            pack[:2].astype(np.int32), basin_sets[i]  # see docstring
         )
         camp = np.zeros((cam_sets[i].shape[0], 96, 128), np.float32)
         camp[:, :94, :125] = cam_sets[i]
-        maskp = np.zeros((instance_map.shape[0], 96, 128), np.uint8)
-        maskp[:, :94, :125] = instance_map
+        # fixed 6-mask cap so every image shares one (seed-build, walk)
+        # shape family and the warmup covers it: per-shape first
+        # executions cost seconds through the relay and would land in
+        # the timed passes (zero mask rows are zero seed rows — they
+        # never win the decode, so the labels are unchanged)
+        assert instance_map.shape[0] <= 6, instance_map.shape
+        maskp = np.zeros((6, 96, 128), np.uint8)
+        maskp[: instance_map.shape[0], :94, :125] = instance_map
         seeds = _seed_build(jnp.asarray(camp), jnp.asarray(maskp))
         labels_np, best_np = _walk_unpack_np(np.asarray(
             walker.propagate_all(
