@@ -68,6 +68,51 @@ def _sep_gauss(x: jax.Array, th: jax.Array, tw: jax.Array) -> jax.Array:
                      "compat_gaussian", "sxy_bilateral", "srgb_bilateral",
                      "compat_bilateral", "matmul_dtype", "stream_kernel"),
 )
+def crf_pair_packed_program(
+    packed_u8: jax.Array,     # [5, H, W] uint8: RGB planes + labels a, b
+    eh: jax.Array,
+    ew: jax.Array,
+    n_labels: jax.Array,
+    gt_prob: jax.Array,
+    *,
+    hw: Tuple[int, int],
+    n_label_cap: int = 21,
+    stride: int = 4,
+    t: int = 10,
+    sxy_gaussian: float = 3.0,
+    compat_gaussian: float = 3.0,
+    sxy_bilateral: float = 50.0,
+    srgb_bilateral: float = 5.0,
+    compat_bilateral: float = 10.0,
+    matmul_dtype: str = "bfloat16",
+    stream_kernel: bool = False,
+) -> jax.Array:
+    """:func:`crf_pair_program` from ONE packed uint8 upload.
+
+    Label ids are < n_label_cap <= 255, so the image and both label maps
+    travel as five uint8 planes (~1 MB at the 384x512 bucket) instead of
+    an image + two int32 maps (~2.2 MB over three transfers) — the
+    ir-label stage's host->device traffic more than halves and pays one
+    transfer boundary instead of three."""
+    return crf_pair_program(
+        jnp.moveaxis(packed_u8[:3], 0, -1),
+        packed_u8[3].astype(jnp.int32),
+        packed_u8[4].astype(jnp.int32),
+        eh, ew, n_labels, gt_prob,
+        hw=hw, n_label_cap=n_label_cap, stride=stride, t=t,
+        sxy_gaussian=sxy_gaussian, compat_gaussian=compat_gaussian,
+        sxy_bilateral=sxy_bilateral, srgb_bilateral=srgb_bilateral,
+        compat_bilateral=compat_bilateral, matmul_dtype=matmul_dtype,
+        stream_kernel=stream_kernel,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hw", "n_label_cap", "stride", "t", "sxy_gaussian",
+                     "compat_gaussian", "sxy_bilateral", "srgb_bilateral",
+                     "compat_bilateral", "matmul_dtype", "stream_kernel"),
+)
 def crf_pair_program(
     img_u8: jax.Array,        # [H, W, 3] uint8 (zero-padded to the bucket)
     labels_a: jax.Array,      # [H, W] int32 in [0, n_labels)
@@ -249,17 +294,16 @@ class LandmarkCRF:
     ) -> Tuple[np.ndarray, np.ndarray]:
         h, w = labels_a.shape
         ph, pw = self._bucket(h, w)
-        imgp = np.zeros((ph, pw, 3), np.uint8)
-        imgp[:h, :w] = img
-        lap = np.zeros((ph, pw), np.int32)
-        lbp = np.zeros((ph, pw), np.int32)
-        lap[:h, :w] = labels_a
-        lbp[:h, :w] = labels_b
-        args = [jnp.asarray(x) for x in (imgp, lap, lbp)]
+        assert self.n_label_cap <= 255  # labels ride uint8 planes
+        packed = np.zeros((5, ph, pw), np.uint8)
+        packed[:3, :h, :w] = np.moveaxis(img, -1, 0)
+        packed[3, :h, :w] = labels_a
+        packed[4, :h, :w] = labels_b
+        packed = jnp.asarray(packed)
         if self.device is not None:
-            args = [jax.device_put(x, self.device) for x in args]
-        out = crf_pair_program(
-            *args,
+            packed = jax.device_put(packed, self.device)
+        out = crf_pair_packed_program(
+            packed,
             jnp.int32(h), jnp.int32(w), jnp.int32(n_labels),
             jnp.float32(gt_prob),
             hw=(ph, pw), n_label_cap=self.n_label_cap, stride=self.stride,
