@@ -253,10 +253,19 @@ def apply_diag_chain(
             )
         return acc * inv[None]
 
-    if n_apply % 2 == 0:
-        return jax.lax.fori_loop(
-            0, n_apply // 2, lambda _, x: one(one(x)), x
-        )
+    # unroll: same ops in the same order (bit-identical), fewer loop
+    # trips. Round-4 sweep adopted 2 (9.07 vs 10.42 ms); the follow-up
+    # probe measured 4 another ~3% faster and 8 flat — adopt 4 with
+    # fallbacks (2^E application counts always take the 4-way).
+    for u in (4, 2):
+        if n_apply % u == 0 and n_apply >= u:
+
+            def body(_, x, u=u):
+                for _i in range(u):
+                    x = one(x)
+                return x
+
+            return jax.lax.fori_loop(0, n_apply // u, body, x)
     return jax.lax.fori_loop(0, n_apply, lambda _, x: one(x), x)
 
 

@@ -343,12 +343,18 @@ def diag_apply_in_jit(
                 )
             return acc * inv_loc[None]
 
-        # two applications per loop body, like the single-device chain
-        # (13% on v5e, tools/bench_stencil_sweep.py; bit-identical)
-        if n_apply % 2 == 0:
-            return jax.lax.fori_loop(
-                0, n_apply // 2, lambda i, x: app(i, app(i, x)), x_loc
-            )
+        # 4 applications per loop body, like the single-device chain
+        # (round-4 sweep: 2-unroll 13%, 4-unroll another ~3%, 8 flat;
+        # bit-identical — same ops in the same order)
+        for u in (4, 2):
+            if n_apply % u == 0 and n_apply >= u:
+
+                def rep(i, x, u=u):
+                    for _ in range(u):
+                        x = app(i, x)
+                    return x
+
+                return jax.lax.fori_loop(0, n_apply // u, rep, x_loc)
         return jax.lax.fori_loop(0, n_apply, app, x_loc)
 
     fn = jax.shard_map(
