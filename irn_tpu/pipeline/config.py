@@ -119,6 +119,24 @@ class Config:
                                           # images with more seeds stream
                                           # extra chunks through the same
                                           # program (T is seed-independent)
+    ins_device_ccl: bool = True           # make_ins_seg: cluster basins ON
+                                          # device (ops/ccl_tpu min-label
+                                          # propagation) instead of fetching
+                                          # the advection pack for host
+                                          # union-find — removes one fetch +
+                                          # one upload round trip per image.
+                                          # Single-device only (mesh mode
+                                          # keeps the host path); images
+                                          # whose distinct-cluster count
+                                          # overflows ins_cluster_cap fall
+                                          # back to the exact host path.
+    ins_cluster_cap: int = 8              # static device mask rows for the
+                                          # CCL path: walk rows are
+                                          # classes x THIS, so keep it at
+                                          # the instance count VOC images
+                                          # actually carry (1-7 + escape
+                                          # bucket); overflow is detected
+                                          # in-band and handled exactly
     pad_multiple: int = 64                # inference shape bucketing
     cam_infer_batch: int = 32             # make_cam: stack this many
                                           # same-size images per scale pass

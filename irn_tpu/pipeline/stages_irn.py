@@ -19,6 +19,7 @@ TPU redesign highlights:
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, Tuple
 
@@ -31,6 +32,7 @@ from irn_tpu.data import loader as loader_mod
 from irn_tpu.data import voc12
 from irn_tpu.models.irn import IRNet
 from irn_tpu.ops import cc
+from irn_tpu.ops import ccl_tpu
 from irn_tpu.ops import centroids as cent_mod
 from irn_tpu.ops import random_walk as rw_mod
 from irn_tpu.parallel import mesh as mesh_mod
@@ -259,19 +261,9 @@ class EdgeDisplacementRunner:
             d = dp.reshape(b, 2, cap, cap, 2)
             return jax.vmap(fuse)(e, d, h4, w4)
 
-        def advect_pack_tail(dp, h4, w4):
-            # the make_ins_seg advection pack (see _advect_pack_program's
-            # docstring for the uint8 layout/gating)
-            cent = cent_mod.find_centroids_bounded(
-                dp, h4, w4, iterations=300
-            )
-            if cap <= 255:
-                basin = jnp.sqrt(dp[0] ** 2 + dp[1] ** 2) < jnp.float32(2.5)
-                return jnp.concatenate(
-                    [cent.astype(jnp.uint8), basin[None].astype(jnp.uint8)],
-                    axis=0,
-                )
-            return jnp.concatenate([cent.astype(jnp.float32), dp], axis=0)
+        # the make_ins_seg advection pack: one shared tail owns the basin
+        # predicate (see _advect_pack_core)
+        advect_pack_tail = _advect_pack_core
 
         @jax.jit
         def run_advect(img_u8: jax.Array, h_px: jax.Array, w_px: jax.Array,
@@ -287,9 +279,29 @@ class EdgeDisplacementRunner:
             edge, dp = fuse(edge_logit[..., 0], dp_raw, h4, w4)
             return edge, advect_pack_tail(dp, h4, w4)
 
+        self.cluster_cap = cfg.ins_cluster_cap
+
+        @jax.jit
+        def run_cluster(img_u8: jax.Array, h_px: jax.Array,
+                        w_px: jax.Array, h4: jax.Array, w4: jax.Array):
+            # forward + advection + device CCL in ONE program: neither
+            # the dp field, the centroids, nor the basin plane ever
+            # leaves the device — the round-4 flow's pack fetch + host
+            # union-find + mask re-upload collapse into the device chain
+            # (VERDICT r4 #2; the instance masks stay resident for
+            # _seed_build_cropped)
+            pair = prep(img_u8, h_px, w_px)
+            edge_logit, dp_raw = self.model.apply(
+                self.variables, pair, apply_mean_shift=True
+            )
+            edge, dp = fuse(edge_logit[..., 0], dp_raw, h4, w4)
+            masks, n_found = _cluster_pack_core(dp, h4, w4, self.cluster_cap)
+            return edge, masks, n_found
+
         self._run = run
         self._run_batch = run_batch
         self._run_advect = run_advect
+        self._run_cluster = run_cluster
 
     def with_advect(self, img_u8: np.ndarray, size: Tuple[int, int],
                     device=None):
@@ -309,6 +321,26 @@ class EdgeDisplacementRunner:
             padded, jnp.int32(h), jnp.int32(w), jnp.int32(h4), jnp.int32(w4)
         )
         return edge, pack, (h4, w4)
+
+    def with_cluster(self, img_u8: np.ndarray, size: Tuple[int, int],
+                     device=None):
+        """:meth:`__call__` fused with the instance stage's advection AND
+        device clustering: returns (edge, masks, n_found, (h4, w4)) with
+        ``masks`` the device [ins_cluster_cap, cap, cap] uint8 one-hot
+        instance stack and ``n_found`` the device cluster count scalar
+        (k_cap + 1 = overflow)."""
+        cap_px = self.cap * 4
+        h, w, _ = img_u8.shape
+        assert h <= cap_px and w <= cap_px, (h, w, cap_px)
+        padded = np.pad(img_u8, ((0, cap_px - h), (0, cap_px - w), (0, 0)))
+        if device is not None:
+            padded = jax.device_put(padded, device)
+        h4 = (size[0] - 1) // 4 + 1
+        w4 = (size[1] - 1) // 4 + 1
+        edge, masks, n_found = self._run_cluster(
+            padded, jnp.int32(h), jnp.int32(w), jnp.int32(h4), jnp.int32(w4)
+        )
+        return edge, masks, n_found, (h4, w4)
 
     def __call__(self, img_u8: np.ndarray, size: Tuple[int, int],
                  device=None):
@@ -497,8 +529,9 @@ class RandomWalkRunner:
             return "mesh_banded"
         return "dense"
 
-    def _program(self, cap_h: int, cap_w: int, packed: bool = False):
-        key = (cap_h, cap_w, "packed") if packed else (cap_h, cap_w)
+    def _program(self, cap_h: int, cap_w: int, packed=False):
+        # packed: False | True | "meta" (True + a metadata-row scalar)
+        key = (cap_h, cap_w, "packed", packed) if packed else (cap_h, cap_w)
         with self._lock:
             if key in self._programs:
                 return self._programs[key]
@@ -529,7 +562,23 @@ class RandomWalkRunner:
                 # propagate_all
                 return labels, jnp.max(rw_up, axis=0)
 
-            if packed:
+            if packed == "meta":
+                # packed variant with a trailing metadata row: the extra
+                # scalar argument (the CCL cluster count) rides the same
+                # single fetch (see _walk_pack_meta)
+                run = jax.jit(
+                    lambda *a: _walk_pack_meta(*core(*a[:-1]), a[-1])
+                )
+            elif packed == "u8":
+                # labels-only uint8 fetch (VERDICT r4 #3): make_sem_seg
+                # consumes ONLY the label plane (step/make_sem_seg_labels
+                # .py:44-51 keys-indexes the argmax) and label values are
+                # bounded by the seed-row count, so the per-image fetch
+                # shrinks from the [4ch, 4cw] int32 + f32 pair to one
+                # uint8 plane — 1/8 the bytes on relay-style transports
+                assert self.n_rows <= 255, self.n_rows
+                run = jax.jit(lambda *a: core(*a)[0].astype(jnp.uint8))
+            elif packed:
                 # decode ends in the uint16 (labels, best-bitcast) pack
                 # INSIDE the walk program: one dispatch + one fetch for
                 # the whole per-image walk (make_ins_seg; through a
@@ -641,32 +690,44 @@ class RandomWalkRunner:
                 return labels, norm
 
             decode = jax.jit(decode_core)
-            # packed twin: decode + uint16 pack in ONE program (see
-            # _program's packed variant)
+            # packed twins: decode + uint16 pack in ONE program (see
+            # _program's packed variants)
             decode_packed = jax.jit(lambda *a: _walk_pack(*decode_core(*a)))
+            decode_packed_meta = jax.jit(
+                lambda *a: _walk_pack_meta(*decode_core(*a[:-1]), a[-1])
+            )
 
-            progs = (build_t, chunk, decode, decode_packed)
+            progs = (build_t, chunk, decode, decode_packed,
+                     decode_packed_meta)
             self._programs[key] = progs
             return progs
 
     def propagate_all(self, cam_rows: np.ndarray, edge: jax.Array,
                       h4: int, w4: int, size: Tuple[int, int],
-                      bg_thres: float, device=None, packed: bool = False):
+                      bg_thres: float, device=None, packed=False,
+                      meta: jax.Array | None = None):
         """Uncapped variant of ``__call__``: any number of seed rows.
 
         K <= n_rows runs the fused single program; larger K builds T once
         and streams ceil(K / n_rows) seed chunks through it (T is
         seed-independent, misc/indexing.py:132-139, so the chunked labels
         equal the unchunked ones exactly). Returns (labels [4ch, 4cw]
-        int32, best [4ch, 4cw] winning score / global max)."""
+        int32, best [4ch, 4cw] winning score / global max).
+
+        ``meta``: device int32 scalar to ride the packed fetch's metadata
+        row (packed becomes the "meta" layout, see _walk_pack_meta)."""
+        if meta is not None:
+            assert packed, "meta rides the packed fetch"
+            packed = "meta"
         k = cam_rows.shape[0]
         if k <= self.n_rows:
             return self(cam_rows, edge, h4, w4, size, bg_thres,
-                        device=device, packed=packed)
+                        device=device, packed=packed, meta=meta)
 
         ch = self._bucket(h4)
         cw = self._bucket(w4)
-        build_t, chunk, decode, decode_packed = self._chunk_programs(ch, cw)
+        (build_t, chunk, decode, decode_packed,
+         decode_packed_meta) = self._chunk_programs(ch, cw)
         edge_b = jnp.asarray(edge)[:ch, :cw]
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -709,6 +770,10 @@ class RandomWalkRunner:
                 best_val, best_row,
             )
             gmax = jnp.maximum(gmax, cmax)
+        if packed == "meta":
+            return decode_packed_meta(
+                best_val, best_row, gmax, jnp.float32(bg_thres), meta
+            )
         return (decode_packed if packed else decode)(
             best_val, best_row, gmax, jnp.float32(bg_thres)
         )
@@ -719,7 +784,7 @@ class RandomWalkRunner:
 
     def __call__(self, cam_rows: np.ndarray, edge: jax.Array,
                  h4: int, w4: int, size: Tuple[int, int], bg_thres: float,
-                 device=None, packed: bool = False):
+                 device=None, packed=False, meta: jax.Array | None = None):
         """cam_rows: [K, h4, w4] seeds (K <= n_rows); edge [cap, cap] with
         1.0 beyond extent. Returns (labels [4ch, 4cw] in 0..K,
         best [4ch, 4cw] per-pixel winning upsampled score — the row a
@@ -729,6 +794,8 @@ class RandomWalkRunner:
         ``device``: commit inputs to a specific device (round-robin
         fan-out); ignored in mesh (rw_mesh_model > 1) mode, where one
         image's inputs replicate over the whole model mesh."""
+        if meta is not None and packed is True:
+            packed = "meta"
         ch = self._bucket(h4)
         cw = self._bucket(w4)
         k = cam_rows.shape[0]
@@ -746,11 +813,12 @@ class RandomWalkRunner:
             if device is not None:
                 edge_b = jax.device_put(edge_b, device)
             cam_in = self._row_pad(k, ch, cw)(cam_in)
-            return self._program(ch, cw, packed)(
-                cam_in, edge_b, jnp.int32(h4), jnp.int32(w4),
-                jnp.int32(size[0]), jnp.int32(size[1]),
-                jnp.float32(bg_thres),
-            )
+            args = (cam_in, edge_b, jnp.int32(h4), jnp.int32(w4),
+                    jnp.int32(size[0]), jnp.int32(size[1]),
+                    jnp.float32(bg_thres))
+            if packed == "meta":
+                args += (meta,)
+            return self._program(ch, cw, packed)(*args)
         # upload only the true K seed rows (K = classes present, typically
         # 1-3): through the relay transport ~1 MB/image of zero padding
         # cost more than the walk's decode; the row pad to the row bucket
@@ -769,10 +837,12 @@ class RandomWalkRunner:
         elif device is not None:
             cam_in = jax.device_put(cam_in, device)
         cam_in = self._row_pad(k, ch, cw)(cam_in)
-        return self._program(ch, cw, packed)(
-            cam_in, edge_b, jnp.int32(h4), jnp.int32(w4),
-            jnp.int32(size[0]), jnp.int32(size[1]), jnp.float32(bg_thres),
-        )
+        args = (cam_in, edge_b, jnp.int32(h4), jnp.int32(w4),
+                jnp.int32(size[0]), jnp.int32(size[1]),
+                jnp.float32(bg_thres))
+        if packed == "meta":
+            args += (meta,)
+        return self._program(ch, cw, packed)(*args)
 
     def _row_bucket(self, k: int) -> int:
         """Smallest power-of-two bucket (from ROW_BUCKET, capped at
@@ -877,8 +947,10 @@ def make_sem_seg_labels(cfg: Config) -> None:
                 np.asarray(cam_dict["keys"]) + 1, (1, 0), mode="constant"
             )
 
-            labels, _ = walker(
-                cams, edge, h4, w4, size, cfg.sem_seg_bg_thres, device=dev
+            labels = walker(
+                cams, edge, h4, w4, size, cfg.sem_seg_bg_thres, device=dev,
+                packed="u8",  # labels fit uint8 (<= 20 seed rows): the
+                # fetch drops from int32+f32 planes to one u8 plane
             )
             pending.append((i, out_path, size, keys, labels))
             while len(pending) > len(spread):
@@ -887,7 +959,25 @@ def make_sem_seg_labels(cfg: Config) -> None:
         finish(pending.popleft())
 
 
-def _advect_pack_program():
+def _advect_pack_core(dp: jax.Array, h4: jax.Array, w4: jax.Array,
+                      thres: float = 2.5) -> jax.Array:
+    """Advection + pack tail shared by the fused forward program
+    (EdgeDisplacementRunner.run_advect) and the standalone
+    :func:`_advect_pack_program` — ONE place owns the ``|dp| < thres``
+    basin predicate (ADVICE r4: the host cluster_centroids exposes thres
+    while two duplicated device bodies hardcoded it). uint8 (cy, cx,
+    basin) layout when grid coordinates fit uint8; f32 (cy, cx, dy, dx)
+    beyond 255-cell grids — callers distinguish by dtype."""
+    cent = cent_mod.find_centroids_bounded(dp, h4, w4, iterations=300)
+    if max(dp.shape[1], dp.shape[2]) <= 255:
+        basin = jnp.sqrt(dp[0] ** 2 + dp[1] ** 2) < jnp.float32(thres)
+        return jnp.concatenate(
+            [cent.astype(jnp.uint8), basin[None].astype(jnp.uint8)], axis=0
+        )
+    return jnp.concatenate([cent.astype(jnp.float32), dp], axis=0)
+
+
+def _advect_pack_program(thres: float = 2.5):
     """One-fetch advection: centroids + the basin mask, packed uint8.
 
     The host clustering (cluster_centroids_from_basin) needs only the
@@ -901,25 +991,32 @@ def _advect_pack_program():
     predicate uses the same f32 sqrt the host computed (IEEE
     correctly-rounded on both sides), so the mask is bit-equal."""
 
-    @jax.jit
-    def run_u8(dp: jax.Array, h4: jax.Array, w4: jax.Array) -> jax.Array:
-        cent = cent_mod.find_centroids_bounded(dp, h4, w4, iterations=300)
-        basin = jnp.sqrt(dp[0] ** 2 + dp[1] ** 2) < jnp.float32(2.5)
-        return jnp.concatenate(
-            [cent.astype(jnp.uint8), basin[None].astype(jnp.uint8)], axis=0
-        )
+    return jax.jit(functools.partial(_advect_pack_core, thres=thres))
 
-    @jax.jit
-    def run_f32(dp: jax.Array, h4: jax.Array, w4: jax.Array) -> jax.Array:
-        cent = cent_mod.find_centroids_bounded(dp, h4, w4, iterations=300)
-        return jnp.concatenate([cent.astype(jnp.float32), dp], axis=0)
 
-    def run(dp: jax.Array, h4: jax.Array, w4: jax.Array) -> jax.Array:
-        if max(dp.shape[1], dp.shape[2]) <= 255:
-            return run_u8(dp, h4, w4)
-        return run_f32(dp, h4, w4)
+def _cluster_pack_core(dp: jax.Array, h4: jax.Array, w4: jax.Array,
+                       k_cap: int, thres: float = 2.5):
+    """Advection + device clustering tail (the CCL path's analogue of
+    :func:`_advect_pack_core`): converge centroids, evaluate the basin
+    predicate, and group pixels by landing component entirely on device
+    (ops/ccl_tpu). Returns (masks [k_cap, cap, cap] uint8 — the one-hot
+    instance stack cluster_centroids_from_basin would build on host,
+    zero beyond the true extent — and n_found int32, where a value of
+    k_cap + 1 flags overflow). Nothing crosses device->host: the masks
+    feed :func:`_seed_build_cropped` and n_found rides the walk pack's
+    meta row."""
+    cent = cent_mod.find_centroids_bounded(dp, h4, w4, iterations=300)
+    basin = jnp.sqrt(dp[0] ** 2 + dp[1] ** 2) < jnp.float32(thres)
+    masks, n_found = ccl_tpu.cluster_from_basin(basin, cent, h4, w4, k_cap)
+    return masks.astype(jnp.uint8), n_found
 
-    return run
+
+def _cluster_pack_program(k_cap: int, thres: float = 2.5):
+    """Standalone jit of :func:`_cluster_pack_core` for the batched
+    forward path (dp comes out of EdgeDisplacementRunner.batch)."""
+    return jax.jit(
+        functools.partial(_cluster_pack_core, k_cap=k_cap, thres=thres)
+    )
 
 
 @jax.jit
@@ -946,6 +1043,33 @@ def _walk_unpack_np(wpack: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return labels, best
 
 
+def _walk_pack_meta(labels: jax.Array, best: jax.Array,
+                    meta: jax.Array) -> jax.Array:
+    """:func:`_walk_pack` plus one metadata row appended below the image:
+    [3, 4ch + 1, 4cw] uint16 with ``meta`` at [0, -1, 0]. The device-CCL
+    instance flow rides its cluster count through the ONE walk fetch this
+    way — a separate scalar fetch would cost a full relay round trip
+    (round-4 breakdown: call count dominates bytes)."""
+    base = _walk_pack(labels, best)
+    tail = jnp.zeros((3, 1, base.shape[2]), jnp.uint16)
+    tail = tail.at[0, 0, 0].set(meta.astype(jnp.uint16))
+    return jnp.concatenate([base, tail], axis=1)
+
+
+def _walk_unpack_meta_np(
+    wpack: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Host inverse of :func:`_walk_pack_meta`:
+    (labels int32, best f32, meta int)."""
+    labels, best = _walk_unpack_np(wpack[:, :-1])
+    return labels, best, int(wpack[0, -1, 0])
+
+
+def _pow2_ge(x: int) -> int:
+    """Smallest power of two >= max(x, 1) — the seed-build shape bucket."""
+    return 1 << (max(int(x), 1) - 1).bit_length()
+
+
 @jax.jit
 def _seed_build(cams: jax.Array, masks: jax.Array) -> jax.Array:
     """Device (instance x class) seed rows: cams [C, ch, cw] f32 times
@@ -958,15 +1082,36 @@ def _seed_build(cams: jax.Array, masks: jax.Array) -> jax.Array:
     return seeds.reshape(-1, cams.shape[1], cams.shape[2])
 
 
+@jax.jit
+def _seed_build_cropped(cams: jax.Array, masks: jax.Array) -> jax.Array:
+    """:func:`_seed_build` for the device-CCL flow: masks arrive at the
+    runner's full [k_cap, cap, cap] grid (they never left the device) and
+    crop to the walker's [ch, cw] bucket inside the same program — the
+    crop costs nothing fused, and a standalone slice would be one more
+    relay dispatch."""
+    ch, cw = cams.shape[1], cams.shape[2]
+    seeds = cams[:, None] * masks[None, :, :ch, :cw].astype(cams.dtype)
+    return seeds.reshape(-1, ch, cw)
+
+
 def make_ins_seg_labels(cfg: Config) -> None:
-    """Instance pseudo masks (step/make_ins_seg_labels.py). The per-image
-    flow interleaves device programs with host centroid clustering, so the
-    device fan-out runs TWO worker threads per local device: blocks commit
-    to devices round-robin (EdgeDisplacement batched per block) and one
-    thread's host post-processing (connected components, component
-    scoring) overlaps the other's device programs on the same chip (the
-    reference spawns one process per GPU and leaves its CPU hot loop
-    serial with the GPU, make_ins_seg_labels.py:168-171)."""
+    """Instance pseudo masks (step/make_ins_seg_labels.py).
+
+    Default (ins_device_ccl) flow: forward + advection + basin CCL run as
+    ONE device program (EdgeDisplacementRunner.run_cluster, ops/ccl_tpu),
+    seeds multiply out on device from one cam upload, and the whole walk
+    is one dispatch whose packed fetch carries the cluster count — the
+    reference's host ``skimage.measure.label`` hop
+    (make_ins_seg_labels.py:66) and its fetch + re-upload round trip
+    vanish. Images whose cluster count overflows ins_cluster_cap redo
+    through the exact host-union-find path (ins_device_ccl=False flow).
+
+    The device fan-out runs TWO worker threads per local device: blocks
+    commit to devices round-robin (EdgeDisplacement batched per block)
+    and one thread's host post-processing (walked-component scoring)
+    overlaps the other's device programs on the same chip (the reference
+    spawns one process per GPU and leaves its CPU hot loop serial with
+    the GPU, make_ins_seg_labels.py:168-171)."""
     from concurrent.futures import ThreadPoolExecutor
 
     runner = _load_irn(cfg)
@@ -979,60 +1124,27 @@ def make_ins_seg_labels(cfg: Config) -> None:
 
     n = len(ds)
 
-    def work_one(i, sample, edge, pack_dev, h4, w4, dev) -> None:
-        name = sample["name"]
-        out_path = os.path.join(cfg.ins_seg_out_dir, name + ".npy")
-        img_u8 = sample["img"].astype(np.uint8)
-        size = img_u8.shape[:2]
+    use_ccl = cfg.ins_device_ccl and walker.mesh is None
+    k_cap = cfg.ins_cluster_cap
 
+    def _load_cam(name: str):
         cam_dict = np.load(
             os.path.join(cfg.cam_out_dir, name + ".npy"), allow_pickle=True
         ).item()
-        cams = np.asarray(cam_dict["cam"], np.float32)
-        keys = np.asarray(cam_dict["keys"])
+        return (
+            np.asarray(cam_dict["cam"], np.float32),
+            np.asarray(cam_dict["keys"]),
+        )
 
-        pack = np.asarray(pack_dev)[:, :h4, :w4]
-        cent = pack[:2].astype(np.int32)
-        if pack.dtype == np.uint8:
-            instance_map = cent_mod.cluster_centroids_from_basin(
-                cent, pack[2]
-            )
-        else:  # legacy f32 pack (grids beyond uint8 coordinates)
-            instance_map = cent_mod.cluster_centroids(cent, pack[2:])
-        num_instances = instance_map.shape[0]
-
-        # no seed cap: propagate_all streams any (instances x classes) row
-        # count through a fixed-shape chunk program (T is seed-independent)
-        if walker.mesh is None:
-            # build the dense K*C seed rows ON device from C cam rows +
-            # K uint8 masks (_seed_build) — the transport never carries
-            # the product
-            ch, cw = walker._bucket(h4), walker._bucket(w4)
-            camp = np.zeros((cams.shape[0], ch, cw), np.float32)
-            camp[:, :h4, :w4] = cams
-            maskp = np.zeros((num_instances, ch, cw), np.uint8)
-            maskp[:, :h4, :w4] = instance_map
-            cam_dev = jnp.asarray(camp)
-            mask_dev = jnp.asarray(maskp)
-            if dev is not None:
-                cam_dev = jax.device_put(cam_dev, dev)
-                mask_dev = jax.device_put(mask_dev, dev)
-            seeds = _seed_build(cam_dev, mask_dev)
-        else:
-            seeds = cent_mod.mask_scores_by_instance(cams, instance_map)
-        # Only the label map + the [4ch, 4cw] winning-score map cross
-        # device->host (one lossless uint16 fetch, vs the [n_rows, 4ch,
-        # 4cw] score volume — and the pack rides INSIDE the walk program,
-        # packed=True, so the whole walk is one dispatch + one fetch). At
-        # any pixel a component owns, its row IS the per-pixel argmax, so
-        # the winning-score map carries every per-component max.
-        wpack = np.asarray(walker.propagate_all(
-            seeds, edge, h4, w4, size, cfg.ins_seg_bg_thres, device=dev,
-            packed=True,
-        ))
-        labels_full, best_np = _walk_unpack_np(wpack)  # 0 beyond extent
-        n_rows = seeds.shape[0]
-        instance_class_id = np.repeat(keys, num_instances)
+    def detect_and_save(i, sample, labels_full, best_np,
+                        instance_class_id) -> None:
+        # the shared decode tail: score walked components, drop small
+        # fragments, save the detection dict (make_ins_seg_labels.py
+        # reference semantics — see test_component_scores.py)
+        name = sample["name"]
+        out_path = os.path.join(cfg.ins_seg_out_dir, name + ".npy")
+        size = sample["img"].shape[:2]
+        n_rows = instance_class_id.shape[0]
 
         comp_map, comp_rows, comp_sizes = cent_mod.split_components(
             labels_full, n_rows
@@ -1068,7 +1180,115 @@ def make_ins_seg_labels(cfg: Config) -> None:
         if i % max(n // 20, 1) == 0:
             print(f"make_ins_seg {i}/{n}", flush=True)
 
+    def work_one(i, sample, edge, pack_dev, h4, w4, dev) -> None:
+        img_u8 = sample["img"].astype(np.uint8)
+        size = img_u8.shape[:2]
+        cams, keys = _load_cam(sample["name"])
+
+        pack = np.asarray(pack_dev)[:, :h4, :w4]
+        cent = pack[:2].astype(np.int32)
+        if pack.dtype == np.uint8:
+            instance_map = cent_mod.cluster_centroids_from_basin(
+                cent, pack[2]
+            )
+        else:  # legacy f32 pack (grids beyond uint8 coordinates)
+            instance_map = cent_mod.cluster_centroids(cent, pack[2:])
+        num_instances = instance_map.shape[0]
+
+        # no seed cap: propagate_all streams any (instances x classes) row
+        # count through a fixed-shape chunk program (T is seed-independent)
+        if walker.mesh is None:
+            # build the dense K*C seed rows ON device from C cam rows +
+            # K uint8 masks (_seed_build) — the transport never carries
+            # the product. (C, K) bucket to powers of two with zero rows
+            # (ADVICE r4: unbucketed, every distinct (classes, instances)
+            # pair compiles + relay-warms a new executable, seconds each;
+            # zero cam/mask rows produce zero seed rows, which cannot win
+            # the decode — bench.py's fixed mask cap, generalized)
+            ch, cw = walker._bucket(h4), walker._bucket(w4)
+            c_pad = _pow2_ge(cams.shape[0])
+            k_pad = _pow2_ge(num_instances)
+            camp = np.zeros((c_pad, ch, cw), np.float32)
+            camp[: cams.shape[0], :h4, :w4] = cams
+            maskp = np.zeros((k_pad, ch, cw), np.uint8)
+            maskp[:num_instances, :h4, :w4] = instance_map
+            cam_dev = jnp.asarray(camp)
+            mask_dev = jnp.asarray(maskp)
+            if dev is not None:
+                cam_dev = jax.device_put(cam_dev, dev)
+                mask_dev = jax.device_put(mask_dev, dev)
+            seeds = _seed_build(cam_dev, mask_dev)
+            # rows interleave class-major with the PADDED K: row ids are
+            # c * k_pad + k, so the class lookup repeats over k_pad (the
+            # padded rows never appear in comp_rows — zero seeds lose)
+            keys_pad = np.zeros(c_pad, keys.dtype)
+            keys_pad[: keys.shape[0]] = keys
+            instance_class_id = np.repeat(keys_pad, k_pad)
+        else:
+            seeds = cent_mod.mask_scores_by_instance(cams, instance_map)
+            instance_class_id = np.repeat(keys, num_instances)
+        # Only the label map + the [4ch, 4cw] winning-score map cross
+        # device->host (one lossless uint16 fetch, vs the [n_rows, 4ch,
+        # 4cw] score volume — and the pack rides INSIDE the walk program,
+        # packed=True, so the whole walk is one dispatch + one fetch). At
+        # any pixel a component owns, its row IS the per-pixel argmax, so
+        # the winning-score map carries every per-component max.
+        wpack = np.asarray(walker.propagate_all(
+            seeds, edge, h4, w4, size, cfg.ins_seg_bg_thres, device=dev,
+            packed=True,
+        ))
+        labels_full, best_np = _walk_unpack_np(wpack)  # 0 beyond extent
+        detect_and_save(i, sample, labels_full, best_np, instance_class_id)
+
+    def work_one_ccl(i, sample, edge, masks_dev, n_found_dev, h4, w4,
+                     dev) -> None:
+        # device-CCL flow (VERDICT r4 #2): the basin partition never
+        # visits the host — masks_dev [k_cap, cap, cap] uint8 and the
+        # cluster count came out of the SAME program as the forward
+        # (EdgeDisplacementRunner.run_cluster), seeds multiply out on
+        # device from one cam upload, and the count rides the walk
+        # fetch's metadata row. 3 dispatches + 1 fetch per image, vs the
+        # round-4 host-union-find flow's 3 dispatches + 2 fetches (the
+        # advect pack fetch + mask re-upload RTT is gone).
+        img_u8 = sample["img"].astype(np.uint8)
+        size = img_u8.shape[:2]
+        cams, keys = _load_cam(sample["name"])
+
+        ch, cw = walker._bucket(h4), walker._bucket(w4)
+        c_pad = _pow2_ge(cams.shape[0])
+        camp = np.zeros((c_pad, ch, cw), np.float32)
+        camp[: cams.shape[0], :h4, :w4] = cams
+        cam_dev = jnp.asarray(camp)
+        if dev is not None:
+            cam_dev = jax.device_put(cam_dev, dev)
+        seeds = _seed_build_cropped(cam_dev, masks_dev)
+        wpack = np.asarray(walker.propagate_all(
+            seeds, edge, h4, w4, size, cfg.ins_seg_bg_thres, device=dev,
+            packed=True, meta=n_found_dev,
+        ))
+        labels_full, best_np, n_found = _walk_unpack_meta_np(wpack)
+        if n_found > k_cap:
+            # cluster overflow (> k_cap distinct basins receiving a
+            # centroid): the device mask stack is incomplete, so redo
+            # the image through the exact host path — rare on VOC (the
+            # cap covers 1-7 instances + the escape bucket), and
+            # exactness beats the one wasted walk
+            edge2, pack_dev, (h4b, w4b) = runner.with_advect(
+                img_u8, size, device=dev
+            )
+            work_one(i, sample, edge2, pack_dev, h4b, w4b, dev)
+            return
+        # row ids are c * k_cap + k over the PADDED class count; padded
+        # cam rows and empty mask ranks produce zero seeds, which cannot
+        # win the decode and so never appear in comp_rows
+        keys_pad = np.zeros(c_pad, keys.dtype)
+        keys_pad[: keys.shape[0]] = keys
+        detect_and_save(
+            i, sample, labels_full, best_np, np.repeat(keys_pad, k_cap)
+        )
+
     advect_pack = _advect_pack_program()
+    cluster_pack = _cluster_pack_program(k_cap) if use_ccl else None
     todo = _pending_indices(ds, cfg.ins_seg_out_dir, ".npy", cfg.overwrite)
     bsz = runner.batch_size
     blocks = [todo[c0 : c0 + bsz] for c0 in range(0, len(todo), bsz)]
@@ -1079,8 +1299,33 @@ def make_ins_seg_labels(cfg: Config) -> None:
         samples = [ds[i] for i in block]
         imgs = [s["img"].astype(np.uint8) for s in samples]
         sizes = [im.shape[:2] for im in imgs]
+        if use_ccl:
+            if runner.batch_size == 1 or len(imgs) == 1:
+                # forward + advection + clustering in ONE program
+                for i, sample, im, sz in zip(block, samples, imgs, sizes):
+                    edge, masks_dev, n_found_dev, (h4, w4) = (
+                        runner.with_cluster(im, sz, device=dev)
+                    )
+                    work_one_ccl(
+                        i, sample, edge, masks_dev, n_found_dev, h4, w4,
+                        dev,
+                    )
+            else:
+                fw = runner.batch(imgs, sizes, device=dev)
+                for i, sample, (edge, dp, (h4, w4)) in zip(
+                    block, samples, fw
+                ):
+                    masks_dev, n_found_dev = cluster_pack(
+                        dp, jnp.int32(h4), jnp.int32(w4)
+                    )
+                    work_one_ccl(
+                        i, sample, edge, masks_dev, n_found_dev, h4, w4,
+                        dev,
+                    )
+            return
         if runner.batch_size == 1 or len(imgs) == 1:
-            # default path: forward + advection fused into one program
+            # host-clustering path: forward + advection fused, pack
+            # fetched for the host union-find
             for i, sample, im, sz in zip(block, samples, imgs, sizes):
                 edge, pack_dev, (h4, w4) = runner.with_advect(
                     im, sz, device=dev

@@ -398,3 +398,134 @@ def test_with_advect_matches_separate_programs(rng):
     np.testing.assert_array_equal(np.asarray(edge_a), np.asarray(edge_b))
     assert np.asarray(pack_b).dtype == np.uint8
     np.testing.assert_array_equal(pack_a, np.asarray(pack_b))
+
+
+def test_with_cluster_matches_separate_programs(rng):
+    """EdgeDisplacementRunner.with_cluster (forward + advection + device
+    CCL in one program) must equal __call__ followed by the standalone
+    cluster pack program bit-for-bit."""
+    from irn_tpu.pipeline.stages_irn import _cluster_pack_program
+
+    cfg = Config(rw_grid_cap=16)
+    variables = _tiny_irn_variables()
+    runner = EdgeDisplacementRunner(cfg, variables)
+    img = (rng.random((54, 46, 3)) * 255).astype(np.uint8)
+
+    edge_a, dp, (h4, w4) = runner(img, (54, 46))
+    masks_a, n_a = _cluster_pack_program(cfg.ins_cluster_cap)(
+        dp, jnp.int32(h4), jnp.int32(w4)
+    )
+    edge_b, masks_b, n_b, (h4b, w4b) = runner.with_cluster(img, (54, 46))
+    assert (h4, w4) == (h4b, w4b)
+    np.testing.assert_array_equal(np.asarray(edge_a), np.asarray(edge_b))
+    assert np.asarray(masks_b).dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(masks_a), np.asarray(masks_b))
+    assert int(n_a) == int(n_b)
+
+
+def test_cluster_pack_matches_host_clustering(rng):
+    """The device cluster program (advection + basin CCL, ops/ccl_tpu)
+    must produce the host flow's instance masks exactly: same advected
+    centroids -> same basin predicate -> same components, same id order —
+    on a displacement field with REAL multi-basin structure (three
+    attractors; a random-init net's field is degenerate, ROADMAP)."""
+    from irn_tpu.ops import centroids as cent_mod
+    from irn_tpu.pipeline.stages_irn import (
+        _advect_pack_program,
+        _cluster_pack_program,
+    )
+
+    h4, w4, cap = 27, 22, 32
+    yy, xx = np.mgrid[:cap, :cap].astype(np.float32)
+    dp = np.zeros((2, cap, cap), np.float32)
+    # three attractors: dp points toward the nearest one, shrinking as it
+    # converges, so |dp| < 2.5 near each (a real basin per attractor)
+    pts = [(6.0, 5.0), (20.0, 16.0), (8.0, 18.0)]
+    d2 = np.stack([(yy - py) ** 2 + (xx - px) ** 2 for py, px in pts])
+    nearest = np.argmin(d2, axis=0)
+    # gain 0.8 -> basin radius 2.5 / 0.8 ~ 3.1 cells: the three disks
+    # stay disjoint (attractors are >= 12 apart), one component each
+    for j, (py, px) in enumerate(pts):
+        sel = nearest == j
+        dp[0][sel] = 0.8 * (py - yy[sel])
+        dp[1][sel] = 0.8 * (px - xx[sel])
+    k_cap = 8
+    masks, n_found = _cluster_pack_program(k_cap)(
+        jnp.asarray(dp), jnp.int32(h4), jnp.int32(w4)
+    )
+    masks, n_found = np.asarray(masks), int(n_found)
+
+    pack = np.asarray(_advect_pack_program()(
+        jnp.asarray(dp), jnp.int32(h4), jnp.int32(w4)
+    ))[:, :h4, :w4]
+    inst = cent_mod.cluster_centroids_from_basin(
+        pack[:2].astype(np.int32), pack[2]
+    )
+    k = inst.shape[0]
+    assert k >= 3  # the attractors actually produced distinct clusters
+    assert n_found == k
+    np.testing.assert_array_equal(masks[:k, :h4, :w4], inst)
+    assert not masks[k:].any()
+    assert not masks[:, h4:, :].any() and not masks[:, :, w4:].any()
+
+
+def test_make_ins_seg_ccl_matches_host_stage(tmp_path, rng):
+    """Stage-level A/B: make_ins_seg_labels with the device-CCL flow
+    (ins_device_ccl=True, the default) must write byte-identical
+    detection dicts to the host-union-find flow — including with a
+    cluster cap of 1, where any multi-cluster image exercises the
+    overflow fallback end-to-end."""
+    from irn_tpu.pipeline.stages_irn import make_ins_seg_labels
+
+    cfg = _stage_tree(tmp_path, rng)
+    outs = {}
+    for tag, kw in {
+        "host": dict(ins_device_ccl=False),
+        "ccl": dict(ins_device_ccl=True),
+        "ccl1": dict(ins_device_ccl=True, ins_cluster_cap=1),
+    }.items():
+        c = dataclasses.replace(
+            cfg, ins_seg_out_dir=str(tmp_path / ("ins_" + tag)), **kw
+        )
+        make_ins_seg_labels(c)
+        outs[tag] = {
+            n: np.load(
+                os.path.join(c.ins_seg_out_dir, n + ".npy"),
+                allow_pickle=True,
+            ).item()
+            for n in voc12.load_img_name_list(cfg.train_list)
+        }
+    for tag in ("ccl", "ccl1"):
+        for n, want in outs["host"].items():
+            got = outs[tag][n]
+            assert got["size"] == want["size"], (tag, n)
+            np.testing.assert_array_equal(
+                got["class"], want["class"], err_msg=f"{tag}/{n}"
+            )
+            np.testing.assert_array_equal(
+                got["mask"], want["mask"], err_msg=f"{tag}/{n}"
+            )
+            np.testing.assert_allclose(
+                got["score"], want["score"], rtol=0, atol=0,
+                err_msg=f"{tag}/{n}",
+            )
+
+
+def test_u8_walk_matches_unpacked(rng):
+    """packed="u8" (labels-only uint8 fetch, the make_sem_seg transport)
+    must equal the unpacked labels exactly — values are bounded by the
+    seed-row count, so the cast is lossless."""
+    base = dict(rw_grid_cap=16, exp_times=3, rw_radius=2)
+    h4, w4 = 14, 12
+    size = (54, 46)
+    edge = np.ones((16, 16), np.float32)
+    edge[:h4, :w4] = rng.random((h4, w4)).astype(np.float32)
+    cams = rng.random((5, h4, w4)).astype(np.float32)
+
+    w = RandomWalkRunner(Config(**base), n_seed_rows=20)
+    labels, _ = w(cams, jnp.asarray(edge), h4, w4, size, 0.25)
+    lu8 = np.asarray(
+        w(cams, jnp.asarray(edge), h4, w4, size, 0.25, packed="u8")
+    )
+    assert lu8.dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(labels), lu8)
