@@ -295,6 +295,13 @@ class LandmarkCRF:
         h, w = labels_a.shape
         ph, pw = self._bucket(h, w)
         assert self.n_label_cap <= 255  # labels ride uint8 planes
+        # a label >= n_label_cap would silently wrap mod 256 in the uint8
+        # pack (and silently one-hot to nothing past the cap even before
+        # the pack) — fail loudly instead (ADVICE r4)
+        assert labels_a.max(initial=0) < self.n_label_cap, (
+            int(labels_a.max()), self.n_label_cap)
+        assert labels_b.max(initial=0) < self.n_label_cap, (
+            int(labels_b.max()), self.n_label_cap)
         packed = np.zeros((5, ph, pw), np.uint8)
         packed[:3, :h, :w] = np.moveaxis(img, -1, 0)
         packed[3, :h, :w] = labels_a
