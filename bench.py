@@ -6,8 +6,15 @@ label-making stages (SURVEY 2.5): boundary map -> dense 18k^2 affinity ->
 A^10 -> column normalize -> 8 MXU squarings (T^256, ~100 TFLOP) -> seed
 propagation -> x4 decode, one fused XLA program per image.
 
-Prints ONE json line:
+Prints a json line
   {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+IMMEDIATELY (flushed) after the headline measurement, then re-prints the
+line with each composed-stage field appended as it lands — a harness
+timeout anywhere later still leaves the newest printed line parseable
+(round 4 lost its number to exactly that: rc 124 with nothing printed).
+Composed benches are wall-clock budgeted (IRN_TPU_BENCH_BUDGET_S, default
+400 s): any bench whose worst-case cold-compile estimate no longer fits
+is skipped with a marker instead of risking the harness timeout.
 
 Baseline: the torch reference executes the same math as ~5 s/image on a
 V100-class GPU (8 dense fp32 16k^3 matmuls at ~14 TFLOPS effective, plus a
@@ -22,6 +29,18 @@ import os
 import time
 
 import numpy as np
+
+_T0 = time.time()
+_BUDGET_S = float(os.environ.get("IRN_TPU_BENCH_BUDGET_S", "400"))
+
+
+def _emit(line):
+    """Print the (growing) result line now; never buffer it."""
+    print(json.dumps(line), flush=True)
+
+
+def _elapsed():
+    return time.time() - _T0
 
 
 def main():
@@ -97,8 +116,6 @@ def main():
 
     value = 1.0 / dt
     baseline_img_s = 0.2  # reference GPU estimate; see module docstring
-    composed = bench_make_sem_seg(rng) if on_tpu else None
-    ins = bench_make_ins_seg(rng) if on_tpu else None
     line = {
         "metric": "random-walk label propagation, VOC-typical 375x500 image (T^256, fused)",
         "value": round(value, 3),
@@ -107,12 +124,39 @@ def main():
         # the reference publishes no numbers (SURVEY 6); the denominator is
         # a documented engineering estimate — see module docstring
         "baseline": {"img_s": baseline_img_s, "kind": "estimated"},
+        # wall clock to this point (imports + compile warmup + passes):
+        # diagnoses budget skips — on a contended host the relay client
+        # inflates several-fold (CLAUDE.md), eating the composed budget
+        "headline_s": round(_elapsed(), 1),
     }
-    if composed is not None:
-        line["make_sem_seg_e2e_img_s"] = round(composed, 3)
-    if ins is not None:
-        line["make_ins_seg_e2e_img_s"] = round(ins, 3)
-    print(json.dumps(line))
+    _emit(line)  # the headline survives any later timeout
+
+    if not on_tpu:
+        return
+    # composed stage benches, each gated on worst-case remaining budget
+    # (the estimates are COLD-cache: Mosaic stencil compiles are 1-3 min
+    # per geometry and XLA conv/CRF compiles ~0.5-1 min; warm-cache runs
+    # cost a small fraction of these and everything fits easily)
+    composed = [
+        ("make_sem_seg_e2e_img_s", bench_make_sem_seg, 150.0, 60.0),
+        ("make_ins_seg_e2e_img_s", bench_make_ins_seg, 150.0, 60.0),
+        ("cam_to_ir_label_img_s", bench_cam_to_ir_label, 90.0, 40.0),
+    ]
+    warm = False  # a bench finishing well under its cold estimate means
+    # the compile cache is serving — later benches get the warm estimate
+    for key, fn, cold_est, warm_est in composed:
+        if _elapsed() + (warm_est if warm else cold_est) > _BUDGET_S:
+            line.setdefault("skipped", {})[key] = "budget"
+        else:
+            t1 = time.time()
+            try:
+                line[key] = round(fn(rng), 3)
+            except Exception as e:  # never lose already-measured fields
+                line.setdefault("skipped", {})[key] = repr(e)[:160]
+            dt1 = time.time() - t1
+            line.setdefault("t_s", {})[key] = round(dt1, 1)
+            warm = warm or dt1 < 0.5 * cold_est
+        _emit(line)  # re-print with the new field appended
 
 
 def bench_make_sem_seg(rng):
@@ -192,32 +236,32 @@ def bench_make_sem_seg(rng):
 
 
 def bench_make_ins_seg(rng):
-    """Composed make_ins_seg figure (VERDICT r3 #2): the per-image cost of
-    the instance stage through its real programs and host hops —
-    EdgeDisplacement forward, 300-iteration advection (+ the packed
-    centroid/displacement fetch), host basin clustering (connected
-    components), the (instances x classes) random walk + packed
-    label/score fetch, host component split + per-component score
+    """Composed make_ins_seg figure (VERDICT r3 #2, r4 #2): the per-image
+    cost of the instance stage through the production device-CCL flow —
+    (EdgeDisplacement forward + 300-iteration advection + device basin
+    CCL, ONE program), device seed build (cam upload rides the dispatch),
+    the (instances x classes) random walk whose packed uint16 fetch also
+    carries the cluster count, host component split + per-component score
     reduction — pipelined TWO images deep exactly as
     pipeline/stages_irn.make_ins_seg_labels's 2-threads-per-device pool
-    does. Matches step/make_ins_seg_labels.py:108-152.
+    does. 3 dispatches + 1 fetch per image (the round-4 host-union-find
+    flow paid 3 dispatches + 2 fetches). Matches
+    step/make_ins_seg_labels.py:108-152.
 
-    Unlike the sem-seg figure this one is NOT device-resident-only: the
-    stage's host CC sits on the critical path, so the figure includes the
-    per-image device->host round trips (co-located hosts pay ~60 us).
     Seeds are smooth Gaussian-bump cams (2 classes — uniform-noise cams
-    decode to hundreds of speckle components and benchmark the host CC
-    instead of the stage).
+    decode to hundreds of speckle components and benchmark the host
+    component split instead of the stage).
 
     Basin realism: a random-initialized IRNet's displacement field has
-    |dp| >= 2.5 almost everywhere, so the fetched basin plane is empty and
-    clustering degenerates to K=1 (2 seed rows — the round-3 figure
-    measured that). Production images carry 2-8 instances and the
-    stencil walk is linear in seed rows, so the fetched basin plane is
-    replaced host-side with 4 synthetic basin disks (the device flow —
-    forward, advection, pack, seed build, walk — is untouched; only the
-    host clustering input changes, exactly where trained-weight structure
-    would enter)."""
+    |dp| >= 2.5 almost everywhere, so basins degenerate to K=1 (the
+    round-3 figure measured that). Production images carry 2-8 instances,
+    so a constant 4-attractor field is blended into the net's dp INSIDE
+    the fused program (model-apply wrapper: dp*0.01 + field — the real
+    forward still runs in full; XLA cannot dead-code it) exactly where
+    trained-weight structure would enter. Unlike the round-4 host
+    injection this leaves the production dispatch/fetch pattern
+    untouched. The walk is shape-static at classes x ins_cluster_cap
+    rows either way, so the figure no longer depends on the decoded K."""
     from concurrent.futures import ThreadPoolExecutor
 
     import jax
@@ -229,8 +273,9 @@ def bench_make_ins_seg(rng):
     from irn_tpu.pipeline.stages_irn import (
         EdgeDisplacementRunner,
         RandomWalkRunner,
-        _seed_build,
-        _walk_unpack_np,
+        _pow2_ge,
+        _seed_build_cropped,
+        _walk_unpack_meta_np,
     )
 
     cfg = Config(model_dtype="bfloat16", rw_matmul_dtype="bfloat16")
@@ -241,6 +286,37 @@ def bench_make_ins_seg(rng):
     )
     runner = EdgeDisplacementRunner(cfg, variables)
     walker = RandomWalkRunner(cfg, n_seed_rows=cfg.ins_seed_cap)
+    k_cap = cfg.ins_cluster_cap
+
+    # 4-attractor displacement field on the [cap, cap] grid: dp points at
+    # the nearest attractor with gain 0.25, so |dp| < 2.5 within ~10
+    # cells of each (four disjoint basins) and the 300-step advection
+    # contracts into them
+    cap = cfg.rw_grid_cap
+    yyg, xxg = np.mgrid[:cap, :cap].astype(np.float32)
+    attractors = [(20.0, 20.0), (20.0, 90.0), (70.0, 40.0), (75.0, 100.0)]
+    d2a = np.stack(
+        [(yyg - py) ** 2 + (xxg - px) ** 2 for py, px in attractors]
+    )
+    near = np.argmin(d2a, axis=0)
+    field = np.zeros((cap, cap, 2), np.float32)
+    for j, (py, px) in enumerate(attractors):
+        sel = near == j
+        field[..., 0][sel] = 0.25 * (py - yyg[sel])
+        field[..., 1][sel] = 0.25 * (px - xxg[sel])
+    field_dev = jnp.asarray(field)
+
+    class _BasinBlend:
+        """model-apply wrapper: the net's displacement output blends with
+        the constant attractor field (see docstring). Wrapping happens
+        BEFORE the runner's fused program first traces, so the blend
+        compiles into run_cluster itself — no extra dispatch."""
+
+        def apply(self, vs, pair, apply_mean_shift=True):
+            e, d = model.apply(vs, pair, apply_mean_shift=apply_mean_shift)
+            return e, d.astype(jnp.float32) * 0.01 + field_dev[None]
+
+    runner.model = _BasinBlend()
 
     n_images, n_passes = 8, 2
     imgs = []
@@ -263,45 +339,28 @@ def bench_make_ins_seg(rng):
 
     cam_sets = [blob_cams() for _ in range(n_images * n_passes + 1)]
 
-    def blob_basins(k=4):
-        m = np.zeros((94, 125), np.uint8)
-        for _ in range(k):
-            cy, cx = rng.uniform(10, 84), rng.uniform(10, 115)
-            m[(yy[:94, :125] - cy) ** 2 + (xx[:94, :125] - cx) ** 2
-              < rng.uniform(3, 7) ** 2] = 1
-        return m
-
-    basin_sets = [blob_basins() for _ in range(n_images * n_passes + 1)]
     float(imgs[-1][0, 0, 0])
     eargs = (jnp.int32(375), jnp.int32(500), jnp.int32(94), jnp.int32(125))
 
     def one(i):
-        # the round-4 3-dispatch flow exactly as work_one runs it:
-        # (forward + advect + uint8 pack) | (seed build from C cam rows +
-        # K uint8 masks) | (walk + decode + uint16 pack)
-        edge, pack_dev = runner._run_advect(imgs[i], *eargs)
-        pack = np.asarray(pack_dev)[:, :94, :125]
-        instance_map = cent_mod.cluster_centroids_from_basin(
-            pack[:2].astype(np.int32), basin_sets[i]  # see docstring
-        )
-        camp = np.zeros((cam_sets[i].shape[0], 96, 128), np.float32)
-        camp[:, :94, :125] = cam_sets[i]
-        # fixed 6-mask cap so every image shares one (seed-build, walk)
-        # shape family and the warmup covers it: per-shape first
-        # executions cost seconds through the relay and would land in
-        # the timed passes (zero mask rows are zero seed rows — they
-        # never win the decode, so the labels are unchanged)
-        assert instance_map.shape[0] <= 6, instance_map.shape
-        maskp = np.zeros((6, 96, 128), np.uint8)
-        maskp[: instance_map.shape[0], :94, :125] = instance_map
-        seeds = _seed_build(jnp.asarray(camp), jnp.asarray(maskp))
-        labels_np, best_np = _walk_unpack_np(np.asarray(
+        # the production device-CCL flow exactly as work_one_ccl runs it:
+        # (forward + advect + basin CCL -> k_cap uint8 masks + count) |
+        # (seed build from C cam rows x resident masks) | (walk + decode
+        # + uint16 pack + count on the metadata row)
+        edge, masks_dev, n_found_dev = runner._run_cluster(imgs[i], *eargs)
+        c_pad = _pow2_ge(cam_sets[i].shape[0])
+        camp = np.zeros((c_pad, 96, 128), np.float32)
+        camp[: cam_sets[i].shape[0], :94, :125] = cam_sets[i]
+        seeds = _seed_build_cropped(jnp.asarray(camp), masks_dev)
+        labels_np, best_np, n_found = _walk_unpack_meta_np(np.asarray(
             walker.propagate_all(
-                seeds, edge, 94, 125, (375, 500), 0.25, packed=True
+                seeds, edge, 94, 125, (375, 500), 0.25, packed=True,
+                meta=n_found_dev,
             )
         ))
+        assert 0 < n_found <= k_cap, n_found  # overflow would fall back
         comp_map, comp_rows, comp_sizes = cent_mod.split_components(
-            labels_np, seeds.shape[0]
+            labels_np, c_pad * k_cap
         )
         scores = np.zeros(comp_rows.shape[0] + 1, np.float32)
         np.maximum.at(scores, comp_map.reshape(-1), best_np.reshape(-1))
@@ -313,6 +372,67 @@ def bench_make_ins_seg(rng):
         t0 = time.time()
         with ThreadPoolExecutor(2) as pool:  # the stage's pipeline depth
             list(pool.map(one, range(p * n_images, (p + 1) * n_images)))
+        best = max(best, n_images / (time.time() - t0))
+    return best
+
+
+def bench_cam_to_ir_label(rng):
+    """Composed cam_to_ir_label device-CRF figure (VERDICT r4 #4): the
+    per-image device cost of the ir-label stage's refine step — ONE
+    landmark-kernel mean-field program refining the fg/bg confident-map
+    pair of a VOC-typical 375x500 image at the (384, 512) bucket, exactly
+    the program pipeline/stages_cam.cam_to_ir_label dispatches through
+    LandmarkCRF.pair when crf_backend resolves to 'tpu' (the default on
+    accelerator hosts since round 4). Matches the reference stage's CRF
+    hot spot, step/cam_to_ir_label.py:26-43 / misc/imutils.py:156-170.
+
+    Device-resident inputs + scalar fetch per the repo's tunnel
+    methodology; distinct inputs per image (the tunnel value-caches
+    identical executions). Content (blob label maps) does not change the
+    op schedule — the program is shape-static with a fixed 21-label cap."""
+    import jax.numpy as jnp
+
+    from irn_tpu.ops.crf_tpu import crf_pair_packed_program
+    from irn_tpu.pipeline.config import Config
+
+    cfg = Config()
+    h, w = 375, 500
+    ph, pw = 384, 512  # pad_multiple=64 bucket, as LandmarkCRF._bucket
+    n_images, n_passes = 4, 2
+    yy, xx = np.mgrid[:h, :w].astype(np.float32)
+
+    def packed_one():
+        # the stage's single packed uint8 upload: RGB + fg/bg label maps
+        p = np.zeros((5, ph, pw), np.uint8)
+        p[0, :h, :w] = (rng.random((h, w)) * 255).astype(np.uint8)
+        p[1:3, :h, :w] = p[0, :h, :w]  # correlated channels, like a photo
+        for plane in (3, 4):
+            m = np.zeros((h, w), np.uint8)
+            for lab in (1, 2):  # two confident fg classes on bg, VOC-typical
+                cy, cx = rng.uniform(50, h - 50), rng.uniform(50, w - 50)
+                r2 = rng.uniform(30, 80) ** 2
+                m[(yy - cy) ** 2 + (xx - cx) ** 2 < r2] = lab
+            p[plane, :h, :w] = m
+        return jnp.asarray(p)
+
+    packs = [packed_one() for _ in range(n_images * n_passes + 1)]
+    float(packs[-1][0, 0, 0])  # force the uploads before timing
+    args = (jnp.int32(h), jnp.int32(w), jnp.int32(3),
+            jnp.float32(cfg.crf_gt_prob))
+
+    def one(i):
+        return crf_pair_packed_program(
+            packs[i], *args, hw=(ph, pw), stride=cfg.crf_landmark_stride,
+            t=cfg.crf_iters,
+        )
+
+    # compile warmup on the dedicated extra input (never re-timed)
+    float(jnp.sum(one(len(packs) - 1), dtype=jnp.float32))
+    best = 0.0
+    for p in range(n_passes):  # best of 2: transient relay backlog
+        t0 = time.time()
+        outs = [one(i) for i in range(p * n_images, (p + 1) * n_images)]
+        float(jnp.sum(outs[-1], dtype=jnp.float32))  # fetch forces the queue
         best = max(best, n_images / (time.time() - t0))
     return best
 
