@@ -280,7 +280,6 @@ def bench_make_ins_seg(rng):
         EdgeDisplacementRunner,
         RandomWalkRunner,
         _pow2_ge,
-        _seed_build_cropped,
         _walk_unpack_meta_np,
     )
 
@@ -351,16 +350,16 @@ def bench_make_ins_seg(rng):
     def one(i):
         # the production device-CCL flow exactly as work_one_ccl runs it:
         # (forward + advect + basin CCL -> k_cap uint8 masks + count) |
-        # (seed build from C cam rows x resident masks) | (walk + decode
-        # + uint16 pack + count on the metadata row)
+        # (fused walk: seed build from C cam rows x resident masks +
+        # edge crop + walk + decode + uint16 pack + count on the
+        # metadata row) -- 2 dispatches + 1 fetch per image
         edge, masks_dev, n_found_dev = runner._run_cluster(imgs[i], *eargs)
         c_pad = _pow2_ge(cam_sets[i].shape[0])
         camp = np.zeros((c_pad, 96, 128), np.float32)
         camp[: cam_sets[i].shape[0], :94, :125] = cam_sets[i]
-        seeds = _seed_build_cropped(jnp.asarray(camp), masks_dev)
         labels_np, best_np, n_found = _walk_unpack_meta_np(np.asarray(
-            walker.propagate_all(
-                seeds, edge, 94, 125, (375, 500), 0.25, packed=True,
+            walker.propagate_fused(
+                camp, masks_dev, edge, 94, 125, (375, 500), 0.25,
                 meta=n_found_dev,
             )
         ))

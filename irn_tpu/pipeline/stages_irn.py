@@ -569,6 +569,33 @@ class RandomWalkRunner:
                 run = jax.jit(
                     lambda *a: _walk_pack_meta(*core(*a[:-1]), a[-1])
                 )
+            elif packed == "fusedmeta":
+                # make_ins_seg device-CCL fast path: the (C x K) seed
+                # rows multiply out INSIDE the walk program from the cam
+                # upload and the resident cluster masks, and the edge
+                # crop + row pad move inside too. The unfused flow paid
+                # seed-build + row-pad + edge-slice dispatches per image
+                # before the walk; relay transports price call COUNT,
+                # not bytes (round-4 breakdown), so those hops dominate.
+                # One jit serves every (c_pad, k_cap) pair -- retraces
+                # key on shape, and both factors are power-of-two
+                # buckets, so the compile family stays bounded.
+                def run_fused(camp, masks, edge_full, h4, w4, h0, w0,
+                              bg, meta):
+                    seeds = camp[:, None] * masks[
+                        None, :, :cap_h, :cap_w
+                    ].astype(camp.dtype)
+                    cam = seeds.reshape(-1, cap_h, cap_w)
+                    pad = self._row_bucket(cam.shape[0]) - cam.shape[0]
+                    if pad:
+                        cam = jnp.pad(cam, ((0, pad), (0, 0), (0, 0)))
+                    return _walk_pack_meta(
+                        *core(cam, edge_full[:cap_h, :cap_w], h4, w4,
+                              h0, w0, bg),
+                        meta,
+                    )
+
+                run = jax.jit(run_fused)
             elif packed == "u8":
                 # labels-only uint8 fetch (VERDICT r4 #3): make_sem_seg
                 # consumes ONLY the label plane (step/make_sem_seg_labels
@@ -843,6 +870,35 @@ class RandomWalkRunner:
         if packed == "meta":
             args += (meta,)
         return self._program(ch, cw, packed)(*args)
+
+    def propagate_fused(self, camp: np.ndarray, masks: jax.Array,
+                        edge: jax.Array, h4: int, w4: int,
+                        size: Tuple[int, int], bg_thres: float,
+                        meta: jax.Array, device=None):
+        """Device-CCL instance walk, fully fused: ``camp`` [c_pad, ch, cw]
+        f32 host cam rows (the only upload), ``masks`` [k_cap, cap, cap]
+        uint8 device-resident cluster stack
+        (EdgeDisplacementRunner.run_cluster output), ``edge`` [cap, cap]
+        device-resident. Seed build (camp x masks), edge crop, row pad,
+        walk, decode, and the uint16 meta pack all run as ONE program --
+        after the forward, 1 dispatch + 1 fetch covers the whole image
+        (the unfused flow's seed-build / row-pad / edge-slice hops are
+        gone). Labels index rows c * k_cap + k like _seed_build_cropped's.
+        Single-device only; rows = c_pad * k_cap must fit n_rows (callers
+        fall back to propagate_all past that)."""
+        assert self.mesh is None, "fused seeds unsupported in mesh mode"
+        ch, cw = self._bucket(h4), self._bucket(w4)
+        rows = camp.shape[0] * masks.shape[0]
+        assert rows <= self.n_rows, (rows, self.n_rows)
+        assert camp.shape[1:] == (ch, cw), (camp.shape, ch, cw)
+        cam_in = jnp.asarray(camp)
+        if device is not None:
+            cam_in = jax.device_put(cam_in, device)
+        return self._program(ch, cw, "fusedmeta")(
+            cam_in, masks, edge, jnp.int32(h4), jnp.int32(w4),
+            jnp.int32(size[0]), jnp.int32(size[1]),
+            jnp.float32(bg_thres), meta,
+        )
 
     def _row_bucket(self, k: int) -> int:
         """Smallest power-of-two bucket (from ROW_BUCKET, capped at
@@ -1245,11 +1301,12 @@ def make_ins_seg_labels(cfg: Config) -> None:
         # device-CCL flow (VERDICT r4 #2): the basin partition never
         # visits the host — masks_dev [k_cap, cap, cap] uint8 and the
         # cluster count came out of the SAME program as the forward
-        # (EdgeDisplacementRunner.run_cluster), seeds multiply out on
-        # device from one cam upload, and the count rides the walk
-        # fetch's metadata row. 3 dispatches + 1 fetch per image, vs the
-        # round-4 host-union-find flow's 3 dispatches + 2 fetches (the
-        # advect pack fetch + mask re-upload RTT is gone).
+        # (EdgeDisplacementRunner.run_cluster), seeds multiply out
+        # INSIDE the walk program from one cam upload
+        # (walker.propagate_fused), and the count rides the walk fetch's
+        # metadata row. 2 dispatches + 1 fetch per image, vs the round-4
+        # host-union-find flow's 3 dispatches + 2 fetches plus the
+        # per-image seed-build / row-pad / edge-slice hops.
         img_u8 = sample["img"].astype(np.uint8)
         size = img_u8.shape[:2]
         cams, keys = _load_cam(sample["name"])
@@ -1258,14 +1315,22 @@ def make_ins_seg_labels(cfg: Config) -> None:
         c_pad = _pow2_ge(cams.shape[0])
         camp = np.zeros((c_pad, ch, cw), np.float32)
         camp[: cams.shape[0], :h4, :w4] = cams
-        cam_dev = jnp.asarray(camp)
-        if dev is not None:
-            cam_dev = jax.device_put(cam_dev, dev)
-        seeds = _seed_build_cropped(cam_dev, masks_dev)
-        wpack = np.asarray(walker.propagate_all(
-            seeds, edge, h4, w4, size, cfg.ins_seg_bg_thres, device=dev,
-            packed=True, meta=n_found_dev,
-        ))
+        if c_pad * k_cap <= walker.n_rows:
+            wpack = np.asarray(walker.propagate_fused(
+                camp, masks_dev, edge, h4, w4, size,
+                cfg.ins_seg_bg_thres, meta=n_found_dev, device=dev,
+            ))
+        else:
+            # oversized (C x K) row product: build seeds standalone and
+            # let propagate_all chunk them through the fixed-row program
+            cam_dev = jnp.asarray(camp)
+            if dev is not None:
+                cam_dev = jax.device_put(cam_dev, dev)
+            seeds = _seed_build_cropped(cam_dev, masks_dev)
+            wpack = np.asarray(walker.propagate_all(
+                seeds, edge, h4, w4, size, cfg.ins_seg_bg_thres,
+                device=dev, packed=True, meta=n_found_dev,
+            ))
         labels_full, best_np, n_found = _walk_unpack_meta_np(wpack)
         if n_found > k_cap:
             # cluster overflow (> k_cap distinct basins receiving a

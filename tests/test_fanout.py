@@ -529,3 +529,39 @@ def test_u8_walk_matches_unpacked(rng):
     )
     assert lu8.dtype == np.uint8
     np.testing.assert_array_equal(np.asarray(labels), lu8)
+
+
+def test_propagate_fused_matches_separate(rng):
+    """propagate_fused (seed build + edge crop + row pad + walk + meta
+    pack in ONE program) must equal the separate-program flow
+    (_seed_build_cropped -> propagate_all) byte-for-byte: the fused seed
+    multiply is the same f32 elementwise op, so fusion cannot change a
+    bit of the packed fetch."""
+    from irn_tpu.pipeline.stages_irn import _seed_build_cropped
+
+    base = dict(rw_grid_cap=16, exp_times=3, rw_radius=2)
+    h4, w4, cap, k_cap, c_pad = 14, 12, 16, 4, 2
+    size = (54, 46)
+    w = RandomWalkRunner(Config(**base), n_seed_rows=32)
+    ch, cw = w._bucket(h4), w._bucket(w4)
+
+    edge = np.ones((cap, cap), np.float32)
+    edge[:h4, :w4] = rng.random((h4, w4)).astype(np.float32)
+    edge_dev = jnp.asarray(edge)
+    masks = np.zeros((k_cap, cap, cap), np.uint8)
+    masks[0, 2:7, 3:8] = 1
+    masks[1, 8:13, 1:6] = 1
+    masks[2, 1:5, 8:11] = 1  # rank 3 left empty (padded mask row)
+    masks_dev = jnp.asarray(masks)
+    camp = np.zeros((c_pad, ch, cw), np.float32)
+    camp[:, :h4, :w4] = rng.random((c_pad, h4, w4)).astype(np.float32)
+    meta = jnp.int32(3)
+
+    fused = np.asarray(w.propagate_fused(
+        camp, masks_dev, edge_dev, h4, w4, size, 0.25, meta=meta
+    ))
+    seeds = _seed_build_cropped(jnp.asarray(camp), masks_dev)
+    sep = np.asarray(w.propagate_all(
+        seeds, edge_dev, h4, w4, size, 0.25, packed=True, meta=meta
+    ))
+    np.testing.assert_array_equal(fused, sep)
