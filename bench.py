@@ -136,22 +136,21 @@ def main():
 
     if not on_tpu:
         return
-    # composed stage benches, each gated on worst-case remaining budget
-    # (the estimates are COLD-cache: Mosaic stencil compiles are 1-3 min
-    # per geometry and XLA conv/CRF compiles ~0.5-1 min; warm-cache runs
-    # cost a small fraction of these and everything fits easily)
-    # estimates from measured round-5 runs: per-program FIRST executions
-    # through the relay cost seconds each regardless of the compile
-    # cache, so even "warm" composed benches pay ~2-3 min of warmup
+    # composed stage benches, each gated on remaining budget. Estimates
+    # are the measured round-5 envelope (warm persistent compile cache;
+    # the driver box keeps /tmp/jaxcache across runs): per-program FIRST
+    # executions through the relay cost seconds each regardless of the
+    # cache, and tunnel contention can inflate any phase several-fold.
+    # The gate only protects LATER benches -- fields measured before a
+    # harness cut already survive via the incremental flush, so err on
+    # the permissive side.
     composed = [
-        ("make_sem_seg_e2e_img_s", bench_make_sem_seg, 250.0, 170.0),
-        ("make_ins_seg_e2e_img_s", bench_make_ins_seg, 500.0, 250.0),
-        ("cam_to_ir_label_img_s", bench_cam_to_ir_label, 90.0, 40.0),
+        ("make_sem_seg_e2e_img_s", bench_make_sem_seg, 220.0),
+        ("make_ins_seg_e2e_img_s", bench_make_ins_seg, 300.0),
+        ("cam_to_ir_label_img_s", bench_cam_to_ir_label, 60.0),
     ]
-    warm = False  # a bench finishing well under its cold estimate means
-    # the compile cache is serving — later benches get the warm estimate
-    for key, fn, cold_est, warm_est in composed:
-        if _elapsed() + (warm_est if warm else cold_est) > _BUDGET_S:
+    for key, fn, est in composed:
+        if _elapsed() + est > _BUDGET_S:
             line.setdefault("skipped", {})[key] = "budget"
         else:
             t1 = time.time()
@@ -159,9 +158,7 @@ def main():
                 line[key] = round(fn(rng), 3)
             except Exception as e:  # never lose already-measured fields
                 line.setdefault("skipped", {})[key] = repr(e)[:160]
-            dt1 = time.time() - t1
-            line.setdefault("t_s", {})[key] = round(dt1, 1)
-            warm = warm or dt1 < 0.5 * cold_est
+            line.setdefault("t_s", {})[key] = round(time.time() - t1, 1)
         _emit(line)  # re-print with the new field appended
 
 
@@ -243,16 +240,17 @@ def bench_make_sem_seg(rng):
 
 def bench_make_ins_seg(rng):
     """Composed make_ins_seg figure (VERDICT r3 #2, r4 #2): the per-image
-    cost of the instance stage through the production device-CCL flow —
-    (EdgeDisplacement forward + 300-iteration advection + device basin
-    CCL, ONE program), device seed build (cam upload rides the dispatch),
-    the (instances x classes) random walk whose packed uint16 fetch also
-    carries the cluster count, host component split + per-component score
-    reduction — pipelined TWO images deep exactly as
-    pipeline/stages_irn.make_ins_seg_labels's 2-threads-per-device pool
-    does. 3 dispatches + 1 fetch per image (the round-4 host-union-find
-    flow paid 3 dispatches + 2 fetches). Matches
-    step/make_ins_seg_labels.py:108-152.
+    cost of the instance stage through the production monolith flow —
+    EdgeDisplacement forward + 300-iteration advection + device basin
+    CCL + seed build + the (instances x classes) random walk + decode,
+    ONE program per image (walker.propagate_monolith) whose single uint8
+    blob upload carries the image and the f32 cam rows and whose packed
+    uint16 fetch carries labels + scores + the cluster count; host
+    component split + per-component score reduction follow — pipelined
+    TWO images deep exactly as make_ins_seg_labels's 2-threads-per-device
+    pool does. One upload + one dispatch + one fetch per image (round-4's
+    host-union-find flow paid 2 uploads + 3 dispatches + 2 fetches).
+    Matches step/make_ins_seg_labels.py:108-152.
 
     Seeds are smooth Gaussian-bump cams (2 classes — uniform-noise cams
     decode to hundreds of speckle components and benchmark the host
@@ -324,11 +322,14 @@ def bench_make_ins_seg(rng):
     runner.model = _BasinBlend()
 
     n_images, n_passes = 8, 2
-    imgs = []
-    for _ in range(n_images * n_passes + 1):
-        p = np.zeros((512, 512, 3), np.uint8)
-        p[:375, :500] = (rng.random((375, 500, 3)) * 255).astype(np.uint8)
-        imgs.append(jnp.asarray(p))
+    # host-side images: the monolith's single blob upload IS the
+    # per-image transport, so it belongs in the timed region (unlike the
+    # earlier split flows, which pre-uploaded device images and only
+    # timed dispatch/fetch RTTs -- this figure is strictly more honest)
+    imgs_np = [
+        (rng.random((375, 500, 3)) * 255).astype(np.uint8)
+        for _ in range(n_images * n_passes + 1)
+    ]
 
     yy, xx = np.mgrid[:96, :128].astype(np.float32)
 
@@ -344,23 +345,18 @@ def bench_make_ins_seg(rng):
 
     cam_sets = [blob_cams() for _ in range(n_images * n_passes + 1)]
 
-    float(imgs[-1][0, 0, 0])
-    eargs = (jnp.int32(375), jnp.int32(500), jnp.int32(94), jnp.int32(125))
-
     def one(i):
-        # the production device-CCL flow exactly as work_one_ccl runs it:
-        # (forward + advect + basin CCL -> k_cap uint8 masks + count) |
-        # (fused walk: seed build from C cam rows x resident masks +
-        # edge crop + walk + decode + uint16 pack + count on the
-        # metadata row) -- 2 dispatches + 1 fetch per image
-        edge, masks_dev, n_found_dev = runner._run_cluster(imgs[i], *eargs)
+        # the production monolith flow exactly as work_one_mono runs it:
+        # forward + advect + basin CCL + seed build + walk + decode +
+        # uint16 meta pack, ONE program per image whose single uint8
+        # blob upload carries the image AND the f32 cam rows -- one
+        # upload + one dispatch + one fetch covers the whole image
         c_pad = _pow2_ge(cam_sets[i].shape[0])
         camp = np.zeros((c_pad, 96, 128), np.float32)
         camp[: cam_sets[i].shape[0], :94, :125] = cam_sets[i]
         labels_np, best_np, n_found = _walk_unpack_meta_np(np.asarray(
-            walker.propagate_fused(
-                camp, masks_dev, edge, 94, 125, (375, 500), 0.25,
-                meta=n_found_dev,
+            walker.propagate_monolith(
+                runner, imgs_np[i], camp, (375, 500), 0.25
             )
         ))
         assert 0 < n_found <= k_cap, n_found  # overflow would fall back
@@ -371,7 +367,7 @@ def bench_make_ins_seg(rng):
         np.maximum.at(scores, comp_map.reshape(-1), best_np.reshape(-1))
         return scores
 
-    one(len(imgs) - 1)  # compile warmup on the dedicated input
+    one(len(imgs_np) - 1)  # compile warmup on the dedicated input
     best = 0.0
     for p in range(n_passes):  # distinct inputs per pass (tunnel caching)
         t0 = time.time()

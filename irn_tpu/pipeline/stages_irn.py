@@ -235,14 +235,18 @@ class EdgeDisplacementRunner:
             dp = jnp.where(valid[None], jnp.transpose(d[0], (2, 0, 1)), 0.0)
             return edge, dp
 
-        @jax.jit
-        def run(img_u8: jax.Array, h_px: jax.Array, w_px: jax.Array,
-                h4: jax.Array, w4: jax.Array):
+        def edge_dp_core(img_u8, h_px, w_px, h4, w4):
+            # the traceable forward body every fused program shares:
+            # prep -> model -> flip-fuse. Reads self.model/variables at
+            # trace time (bench model wrappers install before first call).
             pair = prep(img_u8, h_px, w_px)
             edge_logit, dp = self.model.apply(
                 self.variables, pair, apply_mean_shift=True
             )
             return fuse(edge_logit[..., 0], dp, h4, w4)
+
+        self.edge_dp_core = edge_dp_core
+        run = jax.jit(edge_dp_core)
 
         @jax.jit
         def run_batch(imgs_u8: jax.Array, h_px: jax.Array, w_px: jax.Array,
@@ -272,11 +276,7 @@ class EdgeDisplacementRunner:
             # leaves the device and the stage pays one dispatch instead
             # of two (through a relay-style transport each program
             # boundary costs ~10-30 ms — round-4 breakdown)
-            pair = prep(img_u8, h_px, w_px)
-            edge_logit, dp_raw = self.model.apply(
-                self.variables, pair, apply_mean_shift=True
-            )
-            edge, dp = fuse(edge_logit[..., 0], dp_raw, h4, w4)
+            edge, dp = edge_dp_core(img_u8, h_px, w_px, h4, w4)
             return edge, advect_pack_tail(dp, h4, w4)
 
         self.cluster_cap = cfg.ins_cluster_cap
@@ -290,11 +290,7 @@ class EdgeDisplacementRunner:
             # union-find + mask re-upload collapse into the device chain
             # (VERDICT r4 #2; the instance masks stay resident for
             # _seed_build_cropped)
-            pair = prep(img_u8, h_px, w_px)
-            edge_logit, dp_raw = self.model.apply(
-                self.variables, pair, apply_mean_shift=True
-            )
-            edge, dp = fuse(edge_logit[..., 0], dp_raw, h4, w4)
+            edge, dp = edge_dp_core(img_u8, h_px, w_px, h4, w4)
             masks, n_found = _cluster_pack_core(dp, h4, w4, self.cluster_cap)
             return edge, masks, n_found
 
@@ -529,9 +525,13 @@ class RandomWalkRunner:
             return "mesh_banded"
         return "dense"
 
-    def _program(self, cap_h: int, cap_w: int, packed=False):
-        # packed: False | True | "meta" (True + a metadata-row scalar)
-        key = (cap_h, cap_w, "packed", packed) if packed else (cap_h, cap_w)
+    def _core(self, cap_h: int, cap_w: int):
+        """The traceable walk body at a (cap_h, cap_w) bucket:
+        core(cam, edge, h4, w4, h0, w0, bg_thres) -> (labels, best).
+        Shared by every :meth:`_program` variant and by callers that
+        fuse the walk into a larger program (the make_ins_seg monolith).
+        Cached: geometry construction is host work worth doing once."""
+        key = ("core", cap_h, cap_w)
         with self._lock:
             if key in self._programs:
                 return self._programs[key]
@@ -561,6 +561,17 @@ class RandomWalkRunner:
                 # all any consumer needs for per-component scores — see
                 # propagate_all
                 return labels, jnp.max(rw_up, axis=0)
+
+            self._programs[key] = core
+            return core
+
+    def _program(self, cap_h: int, cap_w: int, packed=False):
+        # packed: False | True | "meta" (True + a metadata-row scalar)
+        key = (cap_h, cap_w, "packed", packed) if packed else (cap_h, cap_w)
+        core = self._core(cap_h, cap_w)
+        with self._lock:
+            if key in self._programs:
+                return self._programs[key]
 
             if packed == "meta":
                 # packed variant with a trailing metadata row: the extra
@@ -898,6 +909,85 @@ class RandomWalkRunner:
             cam_in, masks, edge, jnp.int32(h4), jnp.int32(w4),
             jnp.int32(size[0]), jnp.int32(size[1]),
             jnp.float32(bg_thres), meta,
+        )
+
+    def propagate_monolith(self, runner, img_u8: np.ndarray,
+                           camp: np.ndarray, size: Tuple[int, int],
+                           bg_thres: float, device=None):
+        """The whole make_ins_seg image as ONE device program: forward +
+        advection + basin CCL + seed build + walk + decode + uint16 meta
+        pack. The ONLY per-image transport is the dispatch (uint8 image +
+        [c_pad, ch, cw] f32 cam rows riding it) and the packed fetch —
+        1 dispatch + 1 fetch, vs run_cluster + fused walk's 2 + 1 (call
+        count prices relay transports, round-4 breakdown).
+
+        ``runner``: the EdgeDisplacementRunner whose traceable forward
+        body (``edge_dp_core``) and cluster cap the program inlines. One
+        compile per (ch, cw, c_pad) — each repeats the forward, so the
+        batch (edge_infer_batch > 1) path keeps the split programs whose
+        forward compiles once. Single-device only; rows = c_pad * k_cap
+        must fit n_rows (callers fall back past that)."""
+        assert self.mesh is None, "monolith unsupported in mesh mode"
+        cap_px = runner.cap * 4
+        h, w, _ = img_u8.shape
+        assert h <= cap_px and w <= cap_px, (h, w, cap_px)
+        h4 = (size[0] - 1) // 4 + 1
+        w4 = (size[1] - 1) // 4 + 1
+        ch, cw = self._bucket(h4), self._bucket(w4)
+        k_cap = runner.cluster_cap
+        rows = camp.shape[0] * k_cap
+        assert rows <= self.n_rows, (rows, self.n_rows)
+        assert camp.shape[1:] == (ch, cw), (camp.shape, ch, cw)
+
+        key = ("mono", ch, cw, k_cap, id(runner))
+        with self._lock:
+            prog = self._programs.get(key)
+        if prog is None:
+            core = self._core(ch, cw)
+            fwd = runner.edge_dp_core
+            n_img = cap_px * cap_px * 3
+
+            def run_all(blob, h_px, w_px, h4_, w4_, h0, w0, bg):
+                # the image and the f32 cam rows ride ONE uint8 upload
+                # (each device_put through a relay transport is its own
+                # round trip); the cam bytes bitcast back here. u8[..., 4]
+                # -> f32 follows the platform byte order — little-endian
+                # on both TPU and the numpy host that packed them
+                # (parity-pinned in tests/test_fanout.py).
+                img = blob[:n_img].reshape(cap_px, cap_px, 3)
+                cam_rows_in = jax.lax.bitcast_convert_type(
+                    blob[n_img:].reshape(-1, ch, cw, 4), jnp.float32
+                )
+                edge, dp = fwd(img, h_px, w_px, h4_, w4_)
+                masks, n_found = _cluster_pack_core(dp, h4_, w4_, k_cap)
+                seeds = cam_rows_in[:, None] * masks[
+                    None, :, :ch, :cw
+                ].astype(cam_rows_in.dtype)
+                cam = seeds.reshape(-1, ch, cw)
+                pad = self._row_bucket(cam.shape[0]) - cam.shape[0]
+                if pad:
+                    cam = jnp.pad(cam, ((0, pad), (0, 0), (0, 0)))
+                return _walk_pack_meta(
+                    *core(cam, edge[:ch, :cw], h4_, w4_, h0, w0, bg),
+                    n_found,
+                )
+
+            prog = jax.jit(run_all)
+            with self._lock:
+                self._programs[key] = prog
+
+        padded = np.pad(img_u8, ((0, cap_px - h), (0, cap_px - w), (0, 0)))
+        blob = np.concatenate([
+            padded.reshape(-1),
+            np.ascontiguousarray(camp, np.float32).view(np.uint8).reshape(-1),
+        ])
+        blob_in = jnp.asarray(blob)
+        if device is not None:
+            blob_in = jax.device_put(blob_in, device)
+        return prog(
+            blob_in, jnp.int32(h), jnp.int32(w), jnp.int32(h4),
+            jnp.int32(w4), jnp.int32(size[0]), jnp.int32(size[1]),
+            jnp.float32(bg_thres),
         )
 
     def _row_bucket(self, k: int) -> int:
@@ -1296,25 +1386,54 @@ def make_ins_seg_labels(cfg: Config) -> None:
         labels_full, best_np = _walk_unpack_np(wpack)  # 0 beyond extent
         detect_and_save(i, sample, labels_full, best_np, instance_class_id)
 
-    def work_one_ccl(i, sample, edge, masks_dev, n_found_dev, h4, w4,
-                     dev) -> None:
-        # device-CCL flow (VERDICT r4 #2): the basin partition never
-        # visits the host — masks_dev [k_cap, cap, cap] uint8 and the
-        # cluster count came out of the SAME program as the forward
-        # (EdgeDisplacementRunner.run_cluster), seeds multiply out
-        # INSIDE the walk program from one cam upload
-        # (walker.propagate_fused), and the count rides the walk fetch's
-        # metadata row. 2 dispatches + 1 fetch per image, vs the round-4
-        # host-union-find flow's 3 dispatches + 2 fetches plus the
-        # per-image seed-build / row-pad / edge-slice hops.
-        img_u8 = sample["img"].astype(np.uint8)
-        size = img_u8.shape[:2]
-        cams, keys = _load_cam(sample["name"])
-
+    def _camp_pad(cams, h4, w4):
+        # cam rows at the walk bucket, class count padded to a power of
+        # two (ADVICE r4 bucketing — padded rows are zero seeds and
+        # cannot win the decode)
         ch, cw = walker._bucket(h4), walker._bucket(w4)
         c_pad = _pow2_ge(cams.shape[0])
         camp = np.zeros((c_pad, ch, cw), np.float32)
         camp[: cams.shape[0], :h4, :w4] = cams
+        return camp, c_pad
+
+    def _finish_ccl(i, sample, wpack, keys, c_pad, dev) -> bool:
+        # shared decode tail of both device-CCL flows; returns False on
+        # cluster overflow (> k_cap distinct basins receiving a
+        # centroid: the device mask stack is incomplete, so the caller
+        # redoes the image through the exact host path — rare on VOC,
+        # the cap covers 1-7 instances + the escape bucket, and
+        # exactness beats the one wasted walk)
+        labels_full, best_np, n_found = _walk_unpack_meta_np(wpack)
+        if n_found > k_cap:
+            return False
+        # row ids are c * k_cap + k over the PADDED class count; padded
+        # cam rows and empty mask ranks produce zero seeds, which cannot
+        # win the decode and so never appear in comp_rows
+        keys_pad = np.zeros(c_pad, keys.dtype)
+        keys_pad[: keys.shape[0]] = keys
+        detect_and_save(
+            i, sample, labels_full, best_np, np.repeat(keys_pad, k_cap)
+        )
+        return True
+
+    def _host_redo(i, sample, img_u8, size, dev) -> None:
+        edge2, pack_dev, (h4b, w4b) = runner.with_advect(
+            img_u8, size, device=dev
+        )
+        work_one(i, sample, edge2, pack_dev, h4b, w4b, dev)
+
+    def work_one_ccl(i, sample, edge, masks_dev, n_found_dev, h4, w4,
+                     dev) -> None:
+        # device-CCL split flow (VERDICT r4 #2), used when the forward
+        # batches: the basin partition never visits the host — masks_dev
+        # [k_cap, cap, cap] uint8 and the cluster count came out of the
+        # SAME program as the forward, seeds multiply out INSIDE the
+        # walk program from one cam upload (walker.propagate_fused), and
+        # the count rides the walk fetch's metadata row.
+        img_u8 = sample["img"].astype(np.uint8)
+        size = img_u8.shape[:2]
+        cams, keys = _load_cam(sample["name"])
+        camp, c_pad = _camp_pad(cams, h4, w4)
         if c_pad * k_cap <= walker.n_rows:
             wpack = np.asarray(walker.propagate_fused(
                 camp, masks_dev, edge, h4, w4, size,
@@ -1331,26 +1450,32 @@ def make_ins_seg_labels(cfg: Config) -> None:
                 seeds, edge, h4, w4, size, cfg.ins_seg_bg_thres,
                 device=dev, packed=True, meta=n_found_dev,
             ))
-        labels_full, best_np, n_found = _walk_unpack_meta_np(wpack)
-        if n_found > k_cap:
-            # cluster overflow (> k_cap distinct basins receiving a
-            # centroid): the device mask stack is incomplete, so redo
-            # the image through the exact host path — rare on VOC (the
-            # cap covers 1-7 instances + the escape bucket), and
-            # exactness beats the one wasted walk
-            edge2, pack_dev, (h4b, w4b) = runner.with_advect(
+        if not _finish_ccl(i, sample, wpack, keys, c_pad, dev):
+            _host_redo(i, sample, img_u8, size, dev)
+
+    def work_one_mono(i, sample, img_u8, size, dev) -> None:
+        # device-CCL monolith flow (per-image blocks): forward +
+        # advection + CCL + seed build + walk + decode + pack as ONE
+        # program — 1 dispatch + 1 fetch per image
+        # (walker.propagate_monolith)
+        cams, keys = _load_cam(sample["name"])
+        h4 = (size[0] - 1) // 4 + 1
+        w4 = (size[1] - 1) // 4 + 1
+        camp, c_pad = _camp_pad(cams, h4, w4)
+        if c_pad * k_cap > walker.n_rows:
+            # oversized row product: the split flow chunks the walk
+            edge, masks_dev, n_found_dev, (h4, w4) = runner.with_cluster(
                 img_u8, size, device=dev
             )
-            work_one(i, sample, edge2, pack_dev, h4b, w4b, dev)
+            work_one_ccl(
+                i, sample, edge, masks_dev, n_found_dev, h4, w4, dev
+            )
             return
-        # row ids are c * k_cap + k over the PADDED class count; padded
-        # cam rows and empty mask ranks produce zero seeds, which cannot
-        # win the decode and so never appear in comp_rows
-        keys_pad = np.zeros(c_pad, keys.dtype)
-        keys_pad[: keys.shape[0]] = keys
-        detect_and_save(
-            i, sample, labels_full, best_np, np.repeat(keys_pad, k_cap)
-        )
+        wpack = np.asarray(walker.propagate_monolith(
+            runner, img_u8, camp, size, cfg.ins_seg_bg_thres, device=dev,
+        ))
+        if not _finish_ccl(i, sample, wpack, keys, c_pad, dev):
+            _host_redo(i, sample, img_u8, size, dev)
 
     advect_pack = _advect_pack_program()
     cluster_pack = _cluster_pack_program(k_cap) if use_ccl else None
@@ -1366,15 +1491,9 @@ def make_ins_seg_labels(cfg: Config) -> None:
         sizes = [im.shape[:2] for im in imgs]
         if use_ccl:
             if runner.batch_size == 1 or len(imgs) == 1:
-                # forward + advection + clustering in ONE program
+                # the whole image in ONE program (monolith flow)
                 for i, sample, im, sz in zip(block, samples, imgs, sizes):
-                    edge, masks_dev, n_found_dev, (h4, w4) = (
-                        runner.with_cluster(im, sz, device=dev)
-                    )
-                    work_one_ccl(
-                        i, sample, edge, masks_dev, n_found_dev, h4, w4,
-                        dev,
-                    )
+                    work_one_mono(i, sample, im, sz, dev)
             else:
                 fw = runner.batch(imgs, sizes, device=dev)
                 for i, sample, (edge, dp, (h4, w4)) in zip(

@@ -565,3 +565,36 @@ def test_propagate_fused_matches_separate(rng):
         seeds, edge_dev, h4, w4, size, 0.25, packed=True, meta=meta
     ))
     np.testing.assert_array_equal(fused, sep)
+
+
+def test_propagate_monolith_matches_split_flow(rng):
+    """propagate_monolith (forward + advection + CCL + seed build + walk
+    + meta pack, ONE program fed by ONE packed uint8 blob) must equal
+    with_cluster followed by propagate_fused byte-for-byte — including
+    the f32 cam rows surviving the uint8 bitcast transport exactly."""
+    cfg = Config(rw_grid_cap=16, exp_times=3, rw_radius=2,
+                 ins_cluster_cap=4)
+    variables = _tiny_irn_variables()
+    runner = EdgeDisplacementRunner(cfg, variables)
+    walker = RandomWalkRunner(Config(
+        rw_grid_cap=16, exp_times=3, rw_radius=2
+    ), n_seed_rows=32)
+    img = (rng.random((54, 46, 3)) * 255).astype(np.uint8)
+    size = (54, 46)
+    h4, w4 = 14, 12
+    ch, cw = walker._bucket(h4), walker._bucket(w4)
+    c_pad = 2
+    camp = np.zeros((c_pad, ch, cw), np.float32)
+    camp[:, :h4, :w4] = rng.random((c_pad, h4, w4)).astype(np.float32)
+
+    edge, masks_dev, n_found_dev, (h4b, w4b) = runner.with_cluster(
+        img, size
+    )
+    assert (h4b, w4b) == (h4, w4)
+    split = np.asarray(walker.propagate_fused(
+        camp, masks_dev, edge, h4, w4, size, 0.25, meta=n_found_dev
+    ))
+    mono = np.asarray(walker.propagate_monolith(
+        runner, img, camp, size, 0.25
+    ))
+    np.testing.assert_array_equal(mono, split)
