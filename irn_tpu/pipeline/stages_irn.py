@@ -927,17 +927,32 @@ class RandomWalkRunner:
         batch (edge_infer_batch > 1) path keeps the split programs whose
         forward compiles once. Single-device only; rows = c_pad * k_cap
         must fit n_rows (callers fall back past that)."""
+        blob = monolith_pack(runner, img_u8, camp)
+        blob_in = jnp.asarray(blob)
+        if device is not None:
+            blob_in = jax.device_put(blob_in, device)
+        h, w, _ = img_u8.shape
+        return self.propagate_monolith_packed(
+            runner, blob_in, h, w, size, bg_thres
+        )
+
+    def propagate_monolith_packed(self, runner, blob_in: jax.Array,
+                                  h: int, w: int, size: Tuple[int, int],
+                                  bg_thres: float):
+        """:meth:`propagate_monolith` on an already-staged blob (see
+        :func:`monolith_pack`): ONE dispatch + ONE fetch, nothing else —
+        callers that pre-stage blobs (bench.py per the repo's
+        pre-uploaded-inputs tunnel methodology) or batch-upload them skip
+        the per-image transfer call entirely."""
         assert self.mesh is None, "monolith unsupported in mesh mode"
         cap_px = runner.cap * 4
-        h, w, _ = img_u8.shape
-        assert h <= cap_px and w <= cap_px, (h, w, cap_px)
         h4 = (size[0] - 1) // 4 + 1
         w4 = (size[1] - 1) // 4 + 1
         ch, cw = self._bucket(h4), self._bucket(w4)
         k_cap = runner.cluster_cap
-        rows = camp.shape[0] * k_cap
+        n_cam = blob_in.shape[0] - cap_px * cap_px * 3
+        rows = (n_cam // (ch * cw * 4)) * k_cap
         assert rows <= self.n_rows, (rows, self.n_rows)
-        assert camp.shape[1:] == (ch, cw), (camp.shape, ch, cw)
 
         key = ("mono", ch, cw, k_cap, id(runner))
         with self._lock:
@@ -976,14 +991,6 @@ class RandomWalkRunner:
             with self._lock:
                 self._programs[key] = prog
 
-        padded = np.pad(img_u8, ((0, cap_px - h), (0, cap_px - w), (0, 0)))
-        blob = np.concatenate([
-            padded.reshape(-1),
-            np.ascontiguousarray(camp, np.float32).view(np.uint8).reshape(-1),
-        ])
-        blob_in = jnp.asarray(blob)
-        if device is not None:
-            blob_in = jax.device_put(blob_in, device)
         return prog(
             blob_in, jnp.int32(h), jnp.int32(w), jnp.int32(h4),
             jnp.int32(w4), jnp.int32(size[0]), jnp.int32(size[1]),
@@ -1214,6 +1221,20 @@ def _walk_unpack_meta_np(
 def _pow2_ge(x: int) -> int:
     """Smallest power of two >= max(x, 1) — the seed-build shape bucket."""
     return 1 << (max(int(x), 1) - 1).bit_length()
+
+
+def monolith_pack(runner, img_u8: np.ndarray, camp: np.ndarray) -> np.ndarray:
+    """Host half of the monolith transport: the cap-padded uint8 image
+    and the f32 cam rows as ONE flat uint8 buffer (the f32 bytes are
+    bitcast back on device — little-endian on both sides)."""
+    cap_px = runner.cap * 4
+    h, w, _ = img_u8.shape
+    assert h <= cap_px and w <= cap_px, (h, w, cap_px)
+    padded = np.pad(img_u8, ((0, cap_px - h), (0, cap_px - w), (0, 0)))
+    return np.concatenate([
+        padded.reshape(-1),
+        np.ascontiguousarray(camp, np.float32).view(np.uint8).reshape(-1),
+    ])
 
 
 @jax.jit
