@@ -257,18 +257,21 @@ def bench_make_sem_seg(rng):
 
 def bench_make_ins_seg(rng):
     """Composed make_ins_seg figure (VERDICT r3 #2, r4 #2): the per-image
-    cost of the instance stage through the production monolith flow —
-    EdgeDisplacement forward + 300-iteration advection + device basin
-    CCL + seed build + the (instances x classes) random walk + decode,
+    cost of the instance stage through the production monolith SPLIT
+    flow — EdgeDisplacement forward + 300-iteration advection + device
+    basin CCL + seed build + the (instances x classes) random walk +
+    decode + device component split + per-component score reduction,
     ONE program per image (walker.propagate_monolith) fed by a single
-    uint8 blob carrying the image and the f32 cam rows, whose packed
-    uint16 fetch carries labels + scores + the cluster count; host
-    component split + per-component score reduction follow — pipelined
-    TWO images deep exactly as make_ins_seg_labels's 2-threads-per-device
-    pool does. One dispatch + one fetch per image in the timed region
-    (blobs pre-staged per the repo's tunnel methodology; round-4's
-    host-union-find flow paid 3 dispatches + 2 fetches at matched
-    staging). Matches step/make_ins_seg_labels.py:108-152.
+    uint8 blob carrying the image and the f32 cam rows, whose ~0.2 MB
+    uint8 fetch carries the component-id plane + per-component tables
+    (rows/sizes/scores) + both counts; the host tail is a table slice —
+    pipelined TWO images deep exactly as make_ins_seg_labels's
+    2-threads-per-device pool does. One dispatch + one fetch per image
+    in the timed region (blobs pre-staged per the repo's tunnel
+    methodology; round-4's host-union-find flow paid 3 dispatches + 2
+    fetches at matched staging, and the round-5a pre-split flow fetched
+    1.18 MB and ran the component split on the 1-core host). Matches
+    step/make_ins_seg_labels.py:108-152.
 
     Seeds are smooth Gaussian-bump cams (2 classes — uniform-noise cams
     decode to hundreds of speckle components and benchmark the host
@@ -290,13 +293,12 @@ def bench_make_ins_seg(rng):
     import jax.numpy as jnp
 
     from irn_tpu.models.irn import IRNet
-    from irn_tpu.ops import centroids as cent_mod
     from irn_tpu.pipeline.config import Config
     from irn_tpu.pipeline.stages_irn import (
         EdgeDisplacementRunner,
         RandomWalkRunner,
         _pow2_ge,
-        _walk_unpack_meta_np,
+        _split_unpack_np,
         monolith_pack,
     )
 
@@ -371,23 +373,23 @@ def bench_make_ins_seg(rng):
     blobs = _stage_device([pack(i) for i in range(len(imgs_np))])
 
     def one(i):
-        # the production monolith flow exactly as work_one_mono runs it:
-        # forward + advect + basin CCL + seed build + walk + decode +
-        # uint16 meta pack, ONE program per image -- one dispatch + one
-        # fetch covers the whole image
-        c_pad = _pow2_ge(cam_sets[i].shape[0])
-        labels_np, best_np, n_found = _walk_unpack_meta_np(np.asarray(
-            walker.propagate_monolith_packed(
-                runner, blobs[i], 375, 500, (375, 500), 0.25
-            )
+        # the production monolith SPLIT flow exactly as work_one_mono
+        # runs it: forward + advect + basin CCL + seed build + walk +
+        # decode + component split + per-component score reduction, ONE
+        # program per image -- one dispatch + one ~0.2 MB fetch (uint8
+        # component-id plane + tables) covers the whole image, and the
+        # host tail is a table slice (the pre-split flow fetched a
+        # 1.18 MB (labels, best) pack and ran split_components +
+        # np.maximum.at per image on the 1-core host)
+        wpack = np.asarray(walker.propagate_monolith_packed(
+            runner, blobs[i], 375, 500, (375, 500), 0.25
         ))
-        assert 0 < n_found <= k_cap, n_found  # overflow would fall back
-        comp_map, comp_rows, comp_sizes = cent_mod.split_components(
-            labels_np, c_pad * k_cap
+        comp_map, rows, sizes, scores, n_comp, n_found = _split_unpack_np(
+            wpack, walker.comp_cap
         )
-        scores = np.zeros(comp_rows.shape[0] + 1, np.float32)
-        np.maximum.at(scores, comp_map.reshape(-1), best_np.reshape(-1))
-        return scores
+        assert 0 < n_found <= k_cap, n_found  # overflow would fall back
+        assert 0 < n_comp <= walker.comp_cap, n_comp
+        return scores[:n_comp]
 
     one(len(imgs_np) - 1)  # compile warmup on the dedicated input
     best = 0.0

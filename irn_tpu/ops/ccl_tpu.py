@@ -164,6 +164,122 @@ def cluster_masks(
     return masks, jnp.sum(found.astype(jnp.int32))
 
 
+def _shift(a: jax.Array, axis: int, off: int, fill) -> jax.Array:
+    """``a`` displaced by ``off`` along ``axis`` (out[i] = a[i - off]),
+    vacated edge filled with ``fill`` — shaped like jnp.roll but without
+    the wraparound (component adjacency never crosses the image border)."""
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (max(off, 0), max(-off, 0))
+    padded = jnp.pad(a, pad, constant_values=fill)
+    idx = [slice(None)] * a.ndim
+    n = a.shape[axis]
+    idx[axis] = slice(0, n) if off >= 0 else slice(-n, None)
+    return padded[tuple(idx)]
+
+
+def min_label_plane_multi(labels: jax.Array) -> jax.Array:
+    """[H, W] int32 map (0 = background) -> [H, W] int32: each nonzero
+    pixel carries the minimum flat index of its 4-connected SAME-VALUE
+    component; background carries the sentinel ``H*W``.
+
+    The multi-label generalization of :func:`min_label_plane`: segment
+    breaks fall wherever the scan-direction neighbor holds a different
+    value (or the pixel is background), so min propagation never crosses
+    a label boundary — per-value components label exactly as if each
+    value's mask ran :func:`min_label_plane` alone, which is how the host
+    twin splits them (ops/centroids.split_components runs
+    cc.label_components per decoded row; components of an argmax map
+    cannot cross rows). Same fixpoint/exactness argument as the
+    single-mask variant; breaks differ per scan direction (the neighbor
+    "before" each element is direction-dependent)."""
+    h, w = labels.shape
+    iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    )
+    bg = labels <= 0
+    lab0 = jnp.where(bg, jnp.int32(h * w), iota)
+
+    def brk(axis, reverse):
+        nb = _shift(labels, axis, -1 if reverse else 1, -1)
+        return bg | (labels != nb)
+
+    brks = [
+        (1, False, brk(1, False)),
+        (1, True, brk(1, True)),
+        (0, False, brk(0, False)),
+        (0, True, brk(0, True)),
+    ]
+
+    def sweep(lab):
+        for axis, reverse, b in brks:
+            lab = _seg_cummin(lab, b, axis=axis, reverse=reverse)
+        return lab
+
+    def body(carry):
+        lab, _ = carry
+        nxt = sweep(lab)
+        return nxt, jnp.any(nxt != lab)
+
+    lab, _ = jax.lax.while_loop(
+        lambda c: c[1], body, (lab0, jnp.bool_(True))
+    )
+    return lab
+
+
+def component_tables(
+    labels: jax.Array, best: jax.Array, comp_cap: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Device twin of the instance stage's host component split + score
+    reduction (ops/centroids.split_components + ``np.maximum.at``,
+    mirroring the reference's per-mask ``skimage.measure.label`` +
+    per-segment max, make_ins_seg_labels.py:82-105): components of the
+    decoded label map, globally numbered by (ascending label value,
+    ascending min flat index) — exactly the host's per-row union-find
+    ids concatenated with per-row offsets, since union-find numbering is
+    raster first appearance = ascending min flat index.
+
+    Args:
+      labels: [H, W] int32 decoded walk output, 0 = background.
+      best: [H, W] f32 per-pixel winning score (labels' argmax row score).
+      comp_cap: static component capacity.
+
+    Returns:
+      (comp_map [H, W] int32 ids 1..n (0 = background, 0 past the cap),
+      rows [comp_cap] int32 — each component's seed row, label value - 1;
+      sizes [comp_cap] int32 pixel counts; scores [comp_cap] f32
+      per-component max of ``best``; n_comp int32 = min(total components,
+      comp_cap + 1) — comp_cap + 1 flags overflow, callers fall back to
+      the host path)."""
+    h, w = labels.shape
+    assert (1 << 31) // (h * w + 1) > 256, (h, w)  # key = label*HW + idx
+    minidx = min_label_plane_multi(labels)
+    key = jnp.where(labels > 0, labels * (h * w) + minidx, _BIG)
+
+    def step(prev, _):
+        u = jnp.min(jnp.where(key > prev, key, _BIG))
+        return u, u
+
+    # comp_cap + 1 ranks: the extra one only detects overflow
+    _, us = jax.lax.scan(step, jnp.int32(-1), None, length=comp_cap + 1)
+    found = us < _BIG
+    n_comp = jnp.sum(found.astype(jnp.int32))
+    usk = us[:comp_cap]
+    # found gating: past-exhaustion ranks hold _BIG, which would "match"
+    # every background pixel (key = _BIG there)
+    eq = (
+        key[None] == usk[:, None, None]
+    ) & found[:comp_cap, None, None]  # [comp_cap, H, W]
+    ranks = jnp.arange(1, comp_cap + 1, dtype=jnp.int32)
+    comp_map = jnp.sum(eq * ranks[:, None, None], axis=0)
+    sizes = jnp.sum(eq, axis=(1, 2), dtype=jnp.int32)
+    scores = jnp.max(
+        jnp.where(eq, best[None].astype(jnp.float32), 0.0), axis=(1, 2)
+    )
+    rows = jnp.where(found[:comp_cap], usk // (h * w) - 1, 0)
+    return comp_map, rows, sizes, scores, n_comp
+
+
 def cluster_from_basin(
     basin: jax.Array, cent: jax.Array, h4: jax.Array, w4: jax.Array,
     k_cap: int,

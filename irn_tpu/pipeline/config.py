@@ -137,6 +137,19 @@ class Config:
                                           # actually carry (1-7 + escape
                                           # bucket); overflow is detected
                                           # in-band and handled exactly
+    ins_comp_cap: int = 128               # monolith split flow: static
+                                          # capacity of the DEVICE
+                                          # component split of the walked
+                                          # label map (instances plus
+                                          # argmax speckle fragments —
+                                          # the reference keeps every
+                                          # fragment as a detection,
+                                          # make_ins_seg_labels.py:95-101);
+                                          # overflow detected in-band,
+                                          # image redone via the host
+                                          # split. 0 disables the device
+                                          # split (labels fetch + host
+                                          # components, the round-5a flow)
     pad_multiple: int = 64                # inference shape bucketing
     cam_infer_batch: int = 32             # make_cam: stack this many
                                           # same-size images per scale pass

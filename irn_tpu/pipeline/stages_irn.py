@@ -421,6 +421,7 @@ class RandomWalkRunner:
         self.mm_dtype = cfg.rw_matmul_jnp_dtype()
         self.square_times_cfg = cfg.rw_square_times
         self.banded_cfg = cfg.rw_banded
+        self.comp_cap = cfg.ins_comp_cap
         # long-context mode: row-shard the transition matrix over a model
         # mesh, so one image's (HW)^2 matrix splits across the slice
         self.mesh = (
@@ -913,13 +914,20 @@ class RandomWalkRunner:
 
     def propagate_monolith(self, runner, img_u8: np.ndarray,
                            camp: np.ndarray, size: Tuple[int, int],
-                           bg_thres: float, device=None):
+                           bg_thres: float, device=None,
+                           split: bool | None = None):
         """The whole make_ins_seg image as ONE device program: forward +
-        advection + basin CCL + seed build + walk + decode + uint16 meta
-        pack. The ONLY per-image transport is the dispatch (uint8 image +
-        [c_pad, ch, cw] f32 cam rows riding it) and the packed fetch —
-        1 dispatch + 1 fetch, vs run_cluster + fused walk's 2 + 1 (call
-        count prices relay transports, round-4 breakdown).
+        advection + basin CCL + seed build + walk + decode + (``split``,
+        the default when ins_comp_cap > 0) component split + score
+        reduction + the packed fetch. The ONLY per-image transport is
+        the dispatch (uint8 image + [c_pad, ch, cw] f32 cam rows riding
+        it) and the packed fetch — 1 dispatch + 1 fetch, vs run_cluster
+        + fused walk's 2 + 1 (call count prices relay transports,
+        round-4 breakdown). With ``split`` the fetch is the ~6x-smaller
+        :func:`_split_pack` uint8 plane and the host decode tail
+        disappears (``_finish_monosplit`` slices tables); split=False
+        keeps the (labels, best) :func:`_walk_pack_meta` fetch for the
+        host tail.
 
         ``runner``: the EdgeDisplacementRunner whose traceable forward
         body (``edge_dp_core``) and cluster cap the program inlines. One
@@ -933,18 +941,23 @@ class RandomWalkRunner:
             blob_in = jax.device_put(blob_in, device)
         h, w, _ = img_u8.shape
         return self.propagate_monolith_packed(
-            runner, blob_in, h, w, size, bg_thres
+            runner, blob_in, h, w, size, bg_thres, split=split
         )
 
     def propagate_monolith_packed(self, runner, blob_in: jax.Array,
                                   h: int, w: int, size: Tuple[int, int],
-                                  bg_thres: float):
+                                  bg_thres: float,
+                                  split: bool | None = None):
         """:meth:`propagate_monolith` on an already-staged blob (see
         :func:`monolith_pack`): ONE dispatch + ONE fetch, nothing else —
         callers that pre-stage blobs (bench.py per the repo's
         pre-uploaded-inputs tunnel methodology) or batch-upload them skip
         the per-image transfer call entirely."""
         assert self.mesh is None, "monolith unsupported in mesh mode"
+        if split is None:
+            split = self.comp_cap > 0
+        # component ids ride a uint8 plane (_split_pack)
+        assert self.comp_cap <= 255, self.comp_cap
         cap_px = runner.cap * 4
         h4 = (size[0] - 1) // 4 + 1
         w4 = (size[1] - 1) // 4 + 1
@@ -954,7 +967,7 @@ class RandomWalkRunner:
         rows = (n_cam // (ch * cw * 4)) * k_cap
         assert rows <= self.n_rows, (rows, self.n_rows)
 
-        key = ("mono", ch, cw, k_cap, id(runner))
+        key = ("monosplit" if split else "mono", ch, cw, k_cap, id(runner))
         with self._lock:
             prog = self._programs.get(key)
         if prog is None:
@@ -982,10 +995,26 @@ class RandomWalkRunner:
                 pad = self._row_bucket(cam.shape[0]) - cam.shape[0]
                 if pad:
                     cam = jnp.pad(cam, ((0, pad), (0, 0), (0, 0)))
-                return _walk_pack_meta(
-                    *core(cam, edge[:ch, :cw], h4_, w4_, h0, w0, bg),
-                    n_found,
+                labels, best = core(
+                    cam, edge[:ch, :cw], h4_, w4_, h0, w0, bg
                 )
+                if split:
+                    # device component split + per-component score
+                    # reduction (ops/ccl_tpu.component_tables): what the
+                    # host did per image with split_components +
+                    # np.maximum.at (the reference's skimage.measure
+                    # .label loop, make_ins_seg_labels.py:92-99) runs
+                    # INSIDE the walk program, and the fetch shrinks to
+                    # a uint8 id plane + tiny tables (_split_pack)
+                    cmap, crows, csizes, cscores, n_comp = (
+                        ccl_tpu.component_tables(
+                            labels, best, self.comp_cap
+                        )
+                    )
+                    return _split_pack(
+                        cmap, crows, csizes, cscores, n_comp, n_found
+                    )
+                return _walk_pack_meta(labels, best, n_found)
 
             prog = jax.jit(run_all)
             with self._lock:
@@ -1218,6 +1247,48 @@ def _walk_unpack_meta_np(
     return labels, best, int(wpack[0, -1, 0])
 
 
+def _split_pack(comp_map: jax.Array, rows: jax.Array, sizes: jax.Array,
+                scores: jax.Array, n_comp: jax.Array,
+                meta: jax.Array) -> jax.Array:
+    """[4ch + m, 4cw] uint8: the device component split's whole result in
+    ONE fetch — component-id plane (ids <= comp_cap <= 255 fit uint8) with
+    the per-component tables bitcast into m trailing byte rows:
+    (n_comp i32, meta i32, rows i32[cap], sizes i32[cap], scores f32[cap]).
+    ~6x fewer bytes than :func:`_walk_pack_meta`'s (labels, best-bitcast)
+    uint16 stack AND the host loses its per-image component-split +
+    score-reduction work — on a 1-core relay host both sat on the
+    critical path. :func:`_split_unpack_np` inverts."""
+    w = comp_map.shape[1]
+    tbl = jnp.concatenate([
+        jnp.stack([n_comp, meta]).astype(jnp.int32),
+        rows.astype(jnp.int32),
+        sizes.astype(jnp.int32),
+        jax.lax.bitcast_convert_type(scores.astype(jnp.float32),
+                                     jnp.int32),
+    ])
+    tbl_u8 = jax.lax.bitcast_convert_type(tbl, jnp.uint8).reshape(-1)
+    m = -(-tbl_u8.shape[0] // w)
+    tail = jnp.zeros((m * w,), jnp.uint8)
+    tail = tail.at[: tbl_u8.shape[0]].set(tbl_u8).reshape(m, w)
+    return jnp.concatenate([comp_map.astype(jnp.uint8), tail], axis=0)
+
+
+def _split_unpack_np(pack: np.ndarray, comp_cap: int):
+    """Host inverse of :func:`_split_pack`: (comp_map int32, rows int32
+    [cap], sizes int64 [cap], scores f32 [cap], n_comp int, meta int)."""
+    nbytes = 4 * (2 + 3 * comp_cap)
+    w = pack.shape[1]
+    m = -(-nbytes // w)
+    comp_map = pack[:-m].astype(np.int32)
+    tbl = np.ascontiguousarray(
+        pack[-m:].reshape(-1)[:nbytes]
+    ).view(np.int32)
+    rows = tbl[2 : 2 + comp_cap]
+    sizes = tbl[2 + comp_cap : 2 + 2 * comp_cap].astype(np.int64)
+    scores = tbl[2 + 2 * comp_cap :].view(np.float32)
+    return comp_map, rows, sizes, scores, int(tbl[0]), int(tbl[1])
+
+
 def _pow2_ge(x: int) -> int:
     """Smallest power of two >= max(x, 1) — the seed-build shape bucket."""
     return 1 << (max(int(x), 1) - 1).bit_length()
@@ -1293,6 +1364,7 @@ def make_ins_seg_labels(cfg: Config) -> None:
 
     use_ccl = cfg.ins_device_ccl and walker.mesh is None
     k_cap = cfg.ins_cluster_cap
+    comp_cap = walker.comp_cap
 
     def _load_cam(name: str):
         cam_dict = np.load(
@@ -1305,21 +1377,28 @@ def make_ins_seg_labels(cfg: Config) -> None:
 
     def detect_and_save(i, sample, labels_full, best_np,
                         instance_class_id) -> None:
-        # the shared decode tail: score walked components, drop small
-        # fragments, save the detection dict (make_ins_seg_labels.py
-        # reference semantics — see test_component_scores.py)
-        name = sample["name"]
-        out_path = os.path.join(cfg.ins_seg_out_dir, name + ".npy")
-        size = sample["img"].shape[:2]
+        # host decode tail: component split + per-component score
+        # reduction on host (the exact path; the monolith split flow
+        # runs the same math on device, _finish_monosplit)
         n_rows = instance_class_id.shape[0]
-
         comp_map, comp_rows, comp_sizes = cent_mod.split_components(
             labels_full, n_rows
         )
         k_comps = comp_rows.shape[0]
         scores_all = np.zeros(k_comps + 1, np.float32)
         np.maximum.at(scores_all, comp_map.reshape(-1), best_np.reshape(-1))
+        _save_detected(i, sample, comp_map, comp_rows, comp_sizes,
+                       scores_all, instance_class_id)
 
+    def _save_detected(i, sample, comp_map, comp_rows, comp_sizes,
+                       scores_all, instance_class_id) -> None:
+        # the shared save tail: drop small fragments, save the detection
+        # dict (make_ins_seg_labels.py reference semantics — see
+        # test_component_scores.py)
+        name = sample["name"]
+        out_path = os.path.join(cfg.ins_seg_out_dir, name + ".npy")
+        size = sample["img"].shape[:2]
+        k_comps = comp_rows.shape[0]
         max_fragment = size[0] * size[1] * 0.01
         pred_score, pred_mask, pred_class = [], [], []
         for k in range(1, k_comps + 1):
@@ -1437,6 +1516,27 @@ def make_ins_seg_labels(cfg: Config) -> None:
         )
         return True
 
+    def _finish_monosplit(i, sample, pack_np, keys, c_pad) -> bool:
+        # decode tail of the monolith SPLIT flow: components + scores
+        # were already computed on device (_split_pack carries the id
+        # plane + tables); overflow of either cap (cluster masks or
+        # components) falls back to the exact host path, same contract
+        # as _finish_ccl
+        comp_map, rows, sizes, scores, n_comp, n_found = _split_unpack_np(
+            pack_np, comp_cap
+        )
+        if n_found > k_cap or n_comp > comp_cap:
+            return False
+        keys_pad = np.zeros(c_pad, keys.dtype)
+        keys_pad[: keys.shape[0]] = keys
+        scores_all = np.concatenate(
+            [np.zeros(1, np.float32), scores[:n_comp]]
+        )
+        _save_detected(i, sample, comp_map, rows[:n_comp],
+                       sizes[:n_comp], scores_all,
+                       np.repeat(keys_pad, k_cap))
+        return True
+
     def _host_redo(i, sample, img_u8, size, dev) -> None:
         edge2, pack_dev, (h4b, w4b) = runner.with_advect(
             img_u8, size, device=dev
@@ -1495,7 +1595,12 @@ def make_ins_seg_labels(cfg: Config) -> None:
         wpack = np.asarray(walker.propagate_monolith(
             runner, img_u8, camp, size, cfg.ins_seg_bg_thres, device=dev,
         ))
-        if not _finish_ccl(i, sample, wpack, keys, c_pad, dev):
+        ok = (
+            _finish_monosplit(i, sample, wpack, keys, c_pad)
+            if comp_cap > 0
+            else _finish_ccl(i, sample, wpack, keys, c_pad, dev)
+        )
+        if not ok:
             _host_redo(i, sample, img_u8, size, dev)
 
     advect_pack = _advect_pack_program()

@@ -143,6 +143,137 @@ def test_cluster_overflow_flag():
     np.testing.assert_array_equal(np.asarray(masks), host[:k_cap])
 
 
+def _host_multi_min_plane(labels):
+    """Oracle for min_label_plane_multi: per label value, the single-mask
+    host min plane, combined (components of an int map cannot cross
+    values)."""
+    h, w = labels.shape
+    out = np.full((h, w), h * w, np.int32)
+    for v in np.unique(labels):
+        if v <= 0:
+            continue
+        m = labels == v
+        out[m] = _host_min_plane(m)[m]
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("n_vals", [1, 3, 7])
+def test_min_label_plane_multi_random(seed, n_vals):
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, n_vals + 1, (21, 17)).astype(np.int32)
+    got = np.asarray(ccl_tpu.min_label_plane_multi(jnp.asarray(labels)))
+    np.testing.assert_array_equal(got, _host_multi_min_plane(labels))
+
+
+def test_min_label_plane_multi_touching_labels():
+    """Different nonzero values sharing every border must NOT merge: a
+    label-1 spiral interleaved with label-2 filling its gaps — min
+    propagation has to break at value boundaries in all four scan
+    directions, and the spiral still needs the full fixpoint."""
+    h = w = 17
+    mask = np.zeros((h, w), bool)
+    top, bot, lef, rig = 0, h - 1, 0, w - 1
+    while top <= bot and lef <= rig:
+        mask[top, lef : rig + 1] = True
+        mask[top : bot + 1, rig] = True
+        mask[bot, lef : rig + 1] = True
+        mask[top + 2 : bot + 1, lef] = True
+        top += 2
+        bot -= 2
+        lef += 2
+        rig -= 2
+    labels = np.where(mask, 1, 2).astype(np.int32)
+    got = np.asarray(ccl_tpu.min_label_plane_multi(jnp.asarray(labels)))
+    np.testing.assert_array_equal(got, _host_multi_min_plane(labels))
+
+
+def _host_component_tables(labels, best):
+    """Oracle: the stage's host decode tail (split_components +
+    np.maximum.at), the exact semantics _finish_monosplit must match."""
+    from irn_tpu.ops.centroids import split_components
+
+    comp_map, comp_rows, comp_sizes = split_components(
+        labels, int(labels.max(initial=0))
+    )
+    k = comp_rows.shape[0]
+    scores = np.zeros(k + 1, np.float32)
+    np.maximum.at(scores, comp_map.reshape(-1), best.reshape(-1))
+    return comp_map, comp_rows, comp_sizes, scores[1:]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize(
+    "blobby,cap",
+    [(True, 64), (False, 400)],  # blobby scenes vs speckle noise (many
+    # hundreds of single-pixel components — the cap just has to cover
+    # them; production sizes the cap for walked blobs and falls back
+    # past it)
+)
+def test_component_tables_parity(seed, blobby, cap):
+    rng = np.random.default_rng(seed)
+    h, w = 24, 32
+    if blobby:
+        labels = np.kron(
+            rng.integers(0, 4, (h // 4, w // 4)), np.ones((4, 4), int)
+        ).astype(np.int32)
+    else:
+        labels = rng.integers(0, 4, (h, w)).astype(np.int32)
+    best = rng.random((h, w)).astype(np.float32)
+    cmap, rows, sizes, scores, n_comp = [
+        np.asarray(x)
+        for x in jax.jit(ccl_tpu.component_tables, static_argnums=2)(
+            jnp.asarray(labels), jnp.asarray(best), cap
+        )
+    ]
+    h_map, h_rows, h_sizes, h_scores = _host_component_tables(labels, best)
+    k = h_rows.shape[0]
+    assert int(n_comp) == k <= cap
+    np.testing.assert_array_equal(cmap, h_map)
+    np.testing.assert_array_equal(rows[:k], h_rows)
+    np.testing.assert_array_equal(sizes[:k], h_sizes)
+    # same f32 values reduced by max on both sides: bitwise equal
+    np.testing.assert_array_equal(scores[:k], h_scores)
+    assert not rows[k:].any() and not sizes[k:].any()
+
+
+def test_component_tables_overflow():
+    """More components than the cap -> n_comp == cap + 1 (the stage's
+    fall-back-to-host signal); the first cap entries stay exact."""
+    labels = np.zeros((16, 16), np.int32)
+    labels[::2, ::2] = 1  # 64 singleton components of one label
+    best = np.linspace(0, 1, 256, dtype=np.float32).reshape(16, 16)
+    cap = 5
+    cmap, rows, sizes, scores, n_comp = [
+        np.asarray(x)
+        for x in ccl_tpu.component_tables(
+            jnp.asarray(labels), jnp.asarray(best), cap
+        )
+    ]
+    assert int(n_comp) == cap + 1
+    h_map, h_rows, h_sizes, h_scores = _host_component_tables(labels, best)
+    np.testing.assert_array_equal(rows, h_rows[:cap])
+    np.testing.assert_array_equal(sizes, h_sizes[:cap])
+    np.testing.assert_array_equal(scores, h_scores[:cap])
+    # ids past the cap report 0 in the map (callers discard it on overflow)
+    np.testing.assert_array_equal(cmap[h_map <= cap], h_map[h_map <= cap])
+    assert (cmap[h_map > cap] == 0).all()
+
+
+def test_component_tables_empty():
+    labels = np.zeros((8, 8), np.int32)
+    best = np.ones((8, 8), np.float32)
+    cmap, rows, sizes, scores, n_comp = [
+        np.asarray(x)
+        for x in ccl_tpu.component_tables(
+            jnp.asarray(labels), jnp.asarray(best), 4
+        )
+    ]
+    assert int(n_comp) == 0
+    assert not cmap.any() and not rows.any() and not sizes.any()
+    assert not scores.any()
+
+
 def test_cluster_empty_basin():
     """Everything escapes -> one all-extent bucket, like the host's
     [1, h, w] all-ones one-hot."""

@@ -483,6 +483,11 @@ def test_make_ins_seg_ccl_matches_host_stage(tmp_path, rng):
         "host": dict(ins_device_ccl=False),
         "ccl": dict(ins_device_ccl=True),
         "ccl1": dict(ins_device_ccl=True, ins_cluster_cap=1),
+        # device component split disabled (labels fetch + host tail) and
+        # comp_cap=1 (any multi-component image exercises the monosplit
+        # overflow fallback end-to-end)
+        "nosplit": dict(ins_device_ccl=True, ins_comp_cap=0),
+        "comp1": dict(ins_device_ccl=True, ins_comp_cap=1),
     }.items():
         c = dataclasses.replace(
             cfg, ins_seg_out_dir=str(tmp_path / ("ins_" + tag)), **kw
@@ -495,7 +500,7 @@ def test_make_ins_seg_ccl_matches_host_stage(tmp_path, rng):
             ).item()
             for n in voc12.load_img_name_list(cfg.train_list)
         }
-    for tag in ("ccl", "ccl1"):
+    for tag in ("ccl", "ccl1", "nosplit", "comp1"):
         for n, want in outs["host"].items():
             got = outs[tag][n]
             assert got["size"] == want["size"], (tag, n)
@@ -595,6 +600,58 @@ def test_propagate_monolith_matches_split_flow(rng):
         camp, masks_dev, edge, h4, w4, size, 0.25, meta=n_found_dev
     ))
     mono = np.asarray(walker.propagate_monolith(
-        runner, img, camp, size, 0.25
+        runner, img, camp, size, 0.25, split=False
     ))
     np.testing.assert_array_equal(mono, split)
+
+
+def test_propagate_monolith_split_matches_host_tail(rng):
+    """The monolith SPLIT variant (device component split + score
+    reduction, ops/ccl_tpu.component_tables fused after the walk) must
+    reproduce the host decode tail run on the labels pack: same component
+    ids, seed rows, sizes, and bitwise-equal f32 max scores — exactly
+    what _finish_monosplit consumes in place of detect_and_save's
+    split_components + np.maximum.at."""
+    from irn_tpu.ops.centroids import split_components
+    from irn_tpu.pipeline.stages_irn import (
+        _split_unpack_np,
+        _walk_unpack_meta_np,
+    )
+
+    cfg = Config(rw_grid_cap=16, exp_times=3, rw_radius=2,
+                 ins_cluster_cap=4)
+    variables = _tiny_irn_variables()
+    runner = EdgeDisplacementRunner(cfg, variables)
+    walker = RandomWalkRunner(Config(
+        rw_grid_cap=16, exp_times=3, rw_radius=2
+    ), n_seed_rows=32)
+    img = (rng.random((54, 46, 3)) * 255).astype(np.uint8)
+    size = (54, 46)
+    h4, w4 = 14, 12
+    ch, cw = walker._bucket(h4), walker._bucket(w4)
+    c_pad = 2
+    camp = np.zeros((c_pad, ch, cw), np.float32)
+    camp[:, :h4, :w4] = rng.random((c_pad, h4, w4)).astype(np.float32)
+
+    labels, best, n_found = _walk_unpack_meta_np(np.asarray(
+        walker.propagate_monolith(runner, img, camp, size, 0.25,
+                                  split=False)
+    ))
+    comp_map, rows, sizes, scores, n_comp, meta = _split_unpack_np(
+        np.asarray(walker.propagate_monolith(
+            runner, img, camp, size, 0.25, split=True
+        )),
+        walker.comp_cap,
+    )
+    assert meta == n_found
+    h_map, h_rows, h_sizes = split_components(
+        labels, c_pad * runner.cluster_cap
+    )
+    k = h_rows.shape[0]
+    h_scores = np.zeros(k + 1, np.float32)
+    np.maximum.at(h_scores, h_map.reshape(-1), best.reshape(-1))
+    assert n_comp == k
+    np.testing.assert_array_equal(comp_map, h_map)
+    np.testing.assert_array_equal(rows[:k], h_rows)
+    np.testing.assert_array_equal(sizes[:k], h_sizes)
+    np.testing.assert_array_equal(scores[:k], h_scores[1:])
