@@ -183,12 +183,19 @@ def main():
 def bench_make_sem_seg(rng):
     """Composed make_sem_seg device figure (VERDICT r2 #8): the REAL
     per-image device cost of the label stage — EdgeDisplacement forward
-    (512px padded crop) + bucketed random walk + x4 decode — through the
-    stage's own runners, software-pipelined exactly as
-    pipeline/stages_irn.make_sem_seg_labels dispatches them (fetch trails
-    the dispatch front). Matches step/make_sem_seg_labels.py:17-54.
-    Random-initialized IRNet weights (none ship in this env); weights
-    don't change the op schedule."""
+    (512px padded crop) + bucketed random walk + x4 decode + u8 label
+    pack — through the stage's own runners, software-pipelined exactly
+    as pipeline/stages_irn.make_sem_seg_labels dispatches them (fetch
+    trails the dispatch front), with the default split programs: the
+    opt-in sem_monolith fusion (one program/img, 2 transport calls vs 5
+    for relay-attached hosts) measured 74.1 here — the joint
+    conv+stencil schedule costs ~5 ms/img device time (probe 10.7 ->
+    16.0), so the split flow is the default AND the bench path.
+    Matches step/make_sem_seg_labels.py:17-54. Random-initialized IRNet
+    weights (none ship in this env); weights don't change the op
+    schedule. K=3 seed rows = the classes present on a typical VOC
+    image; the device program pads to the walker's 8-row bucket (the
+    stencil's cost is linear in seed rows)."""
     import jax
     import jax.numpy as jnp
 
@@ -214,10 +221,7 @@ def bench_make_sem_seg(rng):
     # ~44 MB/s, so per-image H2D (786 KB padded uint8 + the K seed rows)
     # adds ~20 ms/img HERE that is ~50 us on a co-located host. Measured
     # relay-inclusive figure for the record: 24.5 img/s (prefetch threads
-    # don't help — the tunnel is one stream). K=3 seed rows = the classes
-    # present on a typical VOC image; the device program pads to the
-    # walker's 8-row bucket (the stencil's cost is linear in seed rows —
-    # 9.8 vs 17.1 ms/chain at 20 rows).
+    # don't help — the tunnel is one stream).
     n_passes = 2
     imgs_host = []
     for _ in range(n_images * n_passes + 1):  # +1: dedicated warmup
@@ -233,24 +237,23 @@ def bench_make_sem_seg(rng):
     eargs = (jnp.int32(375), jnp.int32(500), jnp.int32(94), jnp.int32(125))
     wargs = (jnp.int32(94), jnp.int32(125), jnp.int32(375), jnp.int32(500),
              jnp.float32(0.25))
-    wprog = walker._program(96, 128)
+    wprog = walker._program(96, 128, packed="u8")
     rpad = walker._row_pad(3, 96, 128)
 
     def one(i):
         edge, _ = runner._run(imgs[i], *eargs)
-        labels, _ = wprog(rpad(cam_rows[i]), edge[:96, :128], *wargs)
-        return labels
+        return wprog(rpad(cam_rows[i]), edge[:96, :128], *wargs)
 
     # compile both programs on the dedicated warmup input (tunnel: fetch,
     # not block; timed passes never re-execute it)
-    float(one(len(imgs) - 1).sum())
+    float(jnp.sum(one(len(imgs) - 1), dtype=jnp.float32))
     best = 0.0
     # best of 2 passes over DISTINCT inputs (transient relay backlog;
     # the tunnel value-caches identical executions)
     for p in range(n_passes):
         t0 = time.time()
         outs = [one(i) for i in range(p * n_images, (p + 1) * n_images)]
-        float(outs[-1].sum())  # fetch forces the queued chain
+        float(jnp.sum(outs[-1], dtype=jnp.float32))  # force the queue
         best = max(best, n_images / (time.time() - t0))
     return best
 

@@ -119,6 +119,21 @@ class Config:
                                           # images with more seeds stream
                                           # extra chunks through the same
                                           # program (T is seed-independent)
+    sem_monolith: bool = False            # make_sem_seg per-image blocks:
+                                          # fuse forward + walk + decode +
+                                          # u8 pack into ONE program fed
+                                          # by one packed blob (2
+                                          # transport calls/img vs 5).
+                                          # Wins on relay-attached hosts
+                                          # (~10-30 ms per call there);
+                                          # co-located hosts LOSE ~5 ms
+                                          # device time per image to the
+                                          # joint conv+stencil schedule
+                                          # (probe: 10.7 -> 16.0 ms/img
+                                          # v5e), so the split flow is
+                                          # the default. Bit-identical
+                                          # labels either way (parity
+                                          # test).
     ins_device_ccl: bool = True           # make_ins_seg: cluster basins ON
                                           # device (ops/ccl_tpu min-label
                                           # propagation) instead of fetching

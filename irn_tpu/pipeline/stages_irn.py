@@ -1026,6 +1026,61 @@ class RandomWalkRunner:
             jnp.float32(bg_thres),
         )
 
+    def propagate_sem_monolith_packed(self, runner, blob_in: jax.Array,
+                                      h: int, w: int,
+                                      size: Tuple[int, int],
+                                      bg_thres: float) -> jax.Array:
+        """The whole make_sem_seg image as ONE device program: forward +
+        walk + decode + uint8 label pack, fed by a :func:`monolith_pack`
+        blob (padded uint8 image + the K f32 class-cam rows bitcast
+        through it) — 1 dispatch + 1 u8-plane fetch per image, vs the
+        split flow's forward dispatch + cam upload + walk dispatch +
+        fetch (call count prices relay transports, round-4 breakdown).
+        The instance stage's monolith (propagate_monolith_packed), minus
+        advection/CCL/scoring: make_sem_seg consumes only the label
+        plane (step/make_sem_seg_labels.py:44-51). One compile per
+        (geometry bucket, pow2 cam-row count); batch callers
+        (edge_infer_batch > 1) keep the split programs whose forward
+        compiles once."""
+        assert self.mesh is None, "monolith unsupported in mesh mode"
+        assert self.n_rows <= 255, self.n_rows
+        cap_px = runner.cap * 4
+        h4 = (size[0] - 1) // 4 + 1
+        w4 = (size[1] - 1) // 4 + 1
+        ch, cw = self._bucket(h4), self._bucket(w4)
+
+        key = ("monosem", ch, cw, id(runner))
+        with self._lock:
+            prog = self._programs.get(key)
+        if prog is None:
+            core = self._core(ch, cw)
+            fwd = runner.edge_dp_core
+            n_img = cap_px * cap_px * 3
+
+            def run_all(blob, h_px, w_px, h4_, w4_, h0, w0, bg):
+                img = blob[:n_img].reshape(cap_px, cap_px, 3)
+                cam = jax.lax.bitcast_convert_type(
+                    blob[n_img:].reshape(-1, ch, cw, 4), jnp.float32
+                )
+                edge, _ = fwd(img, h_px, w_px, h4_, w4_)
+                pad = self._row_bucket(cam.shape[0]) - cam.shape[0]
+                if pad:
+                    cam = jnp.pad(cam, ((0, pad), (0, 0), (0, 0)))
+                labels, _ = core(
+                    cam, edge[:ch, :cw], h4_, w4_, h0, w0, bg
+                )
+                return labels.astype(jnp.uint8)
+
+            prog = jax.jit(run_all)
+            with self._lock:
+                self._programs[key] = prog
+
+        return prog(
+            blob_in, jnp.int32(h), jnp.int32(w), jnp.int32(h4),
+            jnp.int32(w4), jnp.int32(size[0]), jnp.int32(size[1]),
+            jnp.float32(bg_thres),
+        )
+
     def _row_bucket(self, k: int) -> int:
         """Smallest power-of-two bucket (from ROW_BUCKET, capped at
         n_rows) covering k seed rows. The stencil chain is linear in rows
@@ -1105,8 +1160,53 @@ def make_sem_seg_labels(cfg: Config) -> None:
         if i % max(n // 20, 1) == 0:
             print(f"make_sem_seg {i}/{n}", flush=True)
 
+    def _load_sem_cam(name):
+        cam_dict = np.load(
+            os.path.join(cfg.cam_out_dir, name + ".npy"),
+            allow_pickle=True,
+        ).item()
+        cams = np.asarray(cam_dict["cam"], np.float32)  # [K, h4, w4]
+        keys = np.pad(
+            np.asarray(cam_dict["keys"]) + 1, (1, 0), mode="constant"
+        )
+        return cams, keys
+
     todo = _pending_indices(ds, cfg.sem_seg_out_dir, ".png", cfg.overwrite)
     bsz = runner.batch_size
+    if cfg.sem_monolith and bsz == 1 and walker.mesh is None:
+        # per-image blocks: the whole image as ONE program (forward +
+        # walk + decode + u8 pack, walker.propagate_sem_monolith_packed)
+        # fed by one packed blob — 2 transport calls per image instead
+        # of the split flow's 5. Opt-in: right for relay-attached hosts
+        # where calls cost ~10-30 ms each; the joint conv+stencil
+        # schedule costs ~5 ms/img device time vs the split programs
+        # (see Config.sem_monolith), so co-located hosts keep the split
+        for c, i in enumerate(todo):
+            dev = spread(c)
+            sample = ds[i]
+            img_u8 = sample["img"].astype(np.uint8)
+            size = img_u8.shape[:2]
+            h4 = (size[0] - 1) // 4 + 1
+            w4 = (size[1] - 1) // 4 + 1
+            cams, keys = _load_sem_cam(sample["name"])
+            ch, cw = walker._bucket(h4), walker._bucket(w4)
+            camp = np.zeros((_pow2_ge(cams.shape[0]), ch, cw), np.float32)
+            camp[: cams.shape[0], :h4, :w4] = cams
+            blob = jnp.asarray(monolith_pack(runner, img_u8, camp))
+            if dev is not None:
+                blob = jax.device_put(blob, dev)
+            labels = walker.propagate_sem_monolith_packed(
+                runner, blob, size[0], size[1], size, cfg.sem_seg_bg_thres
+            )
+            out_path = os.path.join(
+                cfg.sem_seg_out_dir, sample["name"] + ".png"
+            )
+            pending.append((i, out_path, size, keys, labels))
+            while len(pending) > len(spread):
+                finish(pending.popleft())
+        while pending:
+            finish(pending.popleft())
+        return
     for c, c0 in enumerate(range(0, len(todo), bsz)):
         block = todo[c0 : c0 + bsz]
         dev = spread(c)
@@ -1120,14 +1220,7 @@ def make_sem_seg_labels(cfg: Config) -> None:
         ):
             name = sample["name"]
             out_path = os.path.join(cfg.sem_seg_out_dir, name + ".png")
-            cam_dict = np.load(
-                os.path.join(cfg.cam_out_dir, name + ".npy"),
-                allow_pickle=True,
-            ).item()
-            cams = np.asarray(cam_dict["cam"], np.float32)  # [K, h4, w4]
-            keys = np.pad(
-                np.asarray(cam_dict["keys"]) + 1, (1, 0), mode="constant"
-            )
+            cams, keys = _load_sem_cam(name)
 
             labels = walker(
                 cams, edge, h4, w4, size, cfg.sem_seg_bg_thres, device=dev,

@@ -253,6 +253,8 @@ def test_make_sem_seg_fanout_and_mesh_identical(tmp_path, rng):
         "one": dict(infer_devices=1),
         "all": dict(infer_devices=0),
         "mesh": dict(rw_mesh_model=8),
+        "batch2": dict(edge_infer_batch=2),  # batched-forward split flow
+        "mono": dict(sem_monolith=True),  # fused one-program-per-image
     }.items():
         c = dataclasses.replace(
             cfg, sem_seg_out_dir=str(tmp_path / ("sem_" + tag)), **kw
@@ -264,7 +266,7 @@ def test_make_sem_seg_fanout_and_mesh_identical(tmp_path, rng):
             )
             for n in voc12.load_img_name_list(cfg.train_list)
         }
-    for tag in ("all", "mesh"):
+    for tag in ("all", "mesh", "batch2", "mono"):
         for n, want in outs["one"].items():
             np.testing.assert_array_equal(outs[tag][n], want, err_msg=(tag, n))
 
@@ -602,6 +604,46 @@ def test_propagate_monolith_matches_split_flow(rng):
     mono = np.asarray(walker.propagate_monolith(
         runner, img, camp, size, 0.25, split=False
     ))
+    np.testing.assert_array_equal(mono, split)
+
+
+def test_sem_monolith_matches_split_flow(rng):
+    """propagate_sem_monolith_packed (forward + walk + decode + u8 pack,
+    ONE program fed by one packed blob) must equal the split flow
+    (runner._run forward, then the packed="u8" walk) byte-for-byte —
+    the f32 cam rows survive the uint8 bitcast transport exactly, and
+    the monolith's pow2 zero cam rows pad identically to the split
+    path's device row pad."""
+    from irn_tpu.pipeline.stages_irn import _pow2_ge, monolith_pack
+
+    cfg = Config(rw_grid_cap=16, exp_times=3, rw_radius=2)
+    variables = _tiny_irn_variables()
+    runner = EdgeDisplacementRunner(cfg, variables)
+    walker = RandomWalkRunner(cfg, n_seed_rows=20)
+    size = (54, 46)
+    h4, w4 = 14, 12
+    img = (rng.random(size + (3,)) * 255).astype(np.uint8)
+    cams = rng.random((3, h4, w4)).astype(np.float32)
+
+    cap_px = runner.cap * 4
+    imgp = np.zeros((cap_px, cap_px, 3), np.uint8)
+    imgp[: size[0], : size[1]] = img
+    edge, _ = runner._run(
+        jnp.asarray(imgp), jnp.int32(size[0]), jnp.int32(size[1]),
+        jnp.int32(h4), jnp.int32(w4),
+    )
+    split = np.asarray(walker(
+        cams, edge, h4, w4, size, 0.25, packed="u8"
+    ))
+
+    ch, cw = walker._bucket(h4), walker._bucket(w4)
+    camp = np.zeros((_pow2_ge(cams.shape[0]), ch, cw), np.float32)
+    camp[: cams.shape[0], :h4, :w4] = cams
+    mono = np.asarray(walker.propagate_sem_monolith_packed(
+        runner, jnp.asarray(monolith_pack(runner, img, camp)),
+        size[0], size[1], size, 0.25,
+    ))
+    assert mono.dtype == np.uint8
     np.testing.assert_array_equal(mono, split)
 
 
