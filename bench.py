@@ -166,6 +166,7 @@ def main():
         ("make_sem_seg_e2e_img_s", bench_make_sem_seg, 220.0),
         ("make_ins_seg_e2e_img_s", bench_make_ins_seg, 300.0),
         ("cam_to_ir_label_img_s", bench_cam_to_ir_label, 60.0),
+        ("make_cam_img_s", bench_make_cam, 300.0),
     ]
     for key, fn, est in composed:
         if _elapsed() + est > _BUDGET_S:
@@ -404,6 +405,79 @@ def bench_make_ins_seg(rng):
     return best
 
 
+def bench_make_cam(rng):
+    """Composed make_cam device figure: the per-image device compute of
+    the multi-scale CAM inference stage — uint8 normalize + flip-pair
+    stack + the [2k] ResNet-50 CAM forward + flip fusion +
+    dynamic-extent resizes + cross-scale accumulation, through the
+    stage's own cached scale-pass programs
+    (pipeline/stages_cam.build_cam_scale_pass, exactly what make_cam
+    dispatches per scale) at the VOC-typical 375x500 size, 4 scales x 2
+    flips (run_sample.py:31). Matches step/make_cam.py:26-56. Batch k=8
+    here (the stage default cam_infer_batch=32 measured 110 img/s,
+    BASELINE.md round-3 — k=8 trades a little MXU utilization for 4x
+    less pre-staged upload through the relay). Random weights/pixels:
+    content does not change the conv schedules. Inputs pre-staged per
+    scale per the repo's tunnel methodology; distinct images per chunk
+    (the tunnel value-caches identical executions)."""
+    import jax
+    import jax.numpy as jnp
+
+    from irn_tpu.data import transforms as T
+    from irn_tpu.models.cam import CAMNet
+    from irn_tpu.pipeline.common import round_up
+    from irn_tpu.pipeline.stages_cam import build_cam_scale_pass
+
+    size = (375, 500)
+    scales = (1.0, 0.5, 1.5, 2.0)
+    s4_cap, su_cap = 128, 512
+    k, n_chunks = 8, 3  # chunk 0 warms/compiles; 1..2 are timed
+
+    model = CAMNet(dtype=jnp.bfloat16)
+    variables = jax.tree.map(
+        np.asarray,
+        model.init(jax.random.PRNGKey(0),
+                   np.zeros((1, 64, 64, 3), np.float32)),
+    )
+    scale_pass = build_cam_scale_pass(model, variables, s4_cap, su_cap)
+
+    s4h, s4w = T.get_strided_size(size, 4)
+    suh, suw = T.get_strided_up_size(size, 16)
+    per_scale_dev, per_scale_scalars = [], []
+    for scale in scales:
+        sh = int(np.round(size[0] * scale))
+        sw = int(np.round(size[1] * scale))
+        ph, pw = round_up(sh, 64), round_up(sw, 64)
+        # one blob upload + one split program per scale (not per image)
+        imgs = _stage_device([
+            rng.integers(0, 256, (k, ph, pw, 3)).astype(np.uint8)
+            for _ in range(n_chunks)
+        ])
+        per_scale_dev.append(imgs)
+        per_scale_scalars.append(tuple(jnp.int32(s) for s in (
+            sh, sw, -(-sh // 16), -(-sw // 16),
+            s4h, s4w, suh, suw, size[0], size[1],
+        )))
+
+    def run_chunk(c):
+        s_acc = jnp.zeros((k, 20, s4_cap, s4_cap), jnp.float32)
+        h_acc = jnp.zeros((k, 20, su_cap, su_cap), jnp.float32)
+        for imgs, scalars in zip(per_scale_dev, per_scale_scalars):
+            ph, pw = imgs[c].shape[1:3]
+            s_acc, h_acc = scale_pass(ph, pw, k)(
+                imgs[c], *scalars, s_acc, h_acc
+            )
+        float(jnp.sum(s_acc, dtype=jnp.float32))  # force the queue
+
+    run_chunk(0)  # compile all four scale programs on the warm chunk
+    best = 0.0
+    for c in range(1, n_chunks):  # distinct inputs per chunk
+        t0 = time.time()
+        run_chunk(c)
+        best = max(best, k / (time.time() - t0))
+    return best
+
+
 def bench_cam_to_ir_label(rng):
     """Composed cam_to_ir_label device-CRF figure (VERDICT r4 #4): the
     per-image device cost of the ir-label stage's refine step — ONE
@@ -452,7 +526,7 @@ def bench_cam_to_ir_label(rng):
     def one(i):
         return crf_pair_packed_program(
             packs[i], *args, hw=(ph, pw), stride=cfg.crf_landmark_stride,
-            t=cfg.crf_iters,
+            t=cfg.crf_iters, kernel_store=cfg.crf_kernel_store,
         )
 
     # compile warmup on the dedicated extra input (never re-timed)

@@ -66,7 +66,8 @@ def _sep_gauss(x: jax.Array, th: jax.Array, tw: jax.Array) -> jax.Array:
     jax.jit,
     static_argnames=("hw", "n_label_cap", "stride", "t", "sxy_gaussian",
                      "compat_gaussian", "sxy_bilateral", "srgb_bilateral",
-                     "compat_bilateral", "matmul_dtype", "stream_kernel"),
+                     "compat_bilateral", "matmul_dtype", "stream_kernel",
+                     "kernel_store"),
 )
 def crf_pair_packed_program(
     packed_u8: jax.Array,     # [5, H, W] uint8: RGB planes + labels a, b
@@ -86,6 +87,7 @@ def crf_pair_packed_program(
     compat_bilateral: float = 10.0,
     matmul_dtype: str = "bfloat16",
     stream_kernel: bool = False,
+    kernel_store: str = "dense",
 ) -> jax.Array:
     """:func:`crf_pair_program` from ONE packed uint8 upload.
 
@@ -103,7 +105,7 @@ def crf_pair_packed_program(
         sxy_gaussian=sxy_gaussian, compat_gaussian=compat_gaussian,
         sxy_bilateral=sxy_bilateral, srgb_bilateral=srgb_bilateral,
         compat_bilateral=compat_bilateral, matmul_dtype=matmul_dtype,
-        stream_kernel=stream_kernel,
+        stream_kernel=stream_kernel, kernel_store=kernel_store,
     )
 
 
@@ -111,7 +113,8 @@ def crf_pair_packed_program(
     jax.jit,
     static_argnames=("hw", "n_label_cap", "stride", "t", "sxy_gaussian",
                      "compat_gaussian", "sxy_bilateral", "srgb_bilateral",
-                     "compat_bilateral", "matmul_dtype", "stream_kernel"),
+                     "compat_bilateral", "matmul_dtype", "stream_kernel",
+                     "kernel_store"),
 )
 def crf_pair_program(
     img_u8: jax.Array,        # [H, W, 3] uint8 (zero-padded to the bucket)
@@ -133,12 +136,24 @@ def crf_pair_program(
     compat_bilateral: float = 10.0,
     matmul_dtype: str = "bfloat16",
     stream_kernel: bool = False,
+    kernel_store: str = "dense",
 ) -> jax.Array:
     """Refine two hard label maps sharing one image; returns [2, H, W] i32.
 
     One compilation per (bucket shape, hyper) combination; extent and label
     count are traced scalars, so every image in a bucket reuses the program.
-    """
+
+    ``kernel_store``: "dense" keeps the [N, S] landmark kernel in
+    ``matmul_dtype`` (bf16); "int8" stores it symmetrically quantized
+    (scale 127 — entries live in [0, 1]) and runs each iteration's
+    message matmul as an int8 x int8 -> int32 MXU dot with the landmark
+    activations per-column quantized on the fly. The matmul is ~11x
+    below v5e's compute/bandwidth balance point (42 flops per kernel
+    byte at bf16), so halving the kernel bytes halves the iteration
+    cost; the row-sum normalization uses the DEQUANTIZED kernel, so the
+    operator stays symmetric-normalized exactly as stored. Quantization
+    noise is ~0.4% per entry pre-normalization — measured agreement in
+    tools/bench_crf.py (--kstore int8)."""
     h, w = hw
     n = h * w
     cap = n_label_cap
@@ -168,10 +183,26 @@ def crf_pair_program(
     # the bf16 kernel matrix + f32 row sums
     sq_land = (f_land**2).sum(1)
 
+    int8_store = kernel_store == "int8"
+    assert kernel_store in ("dense", "int8"), kernel_store
+    # streaming recomputes the kernel every iteration — quantized storage
+    # has nothing to store, the modes are alternatives, not composable
+    assert not (stream_kernel and int8_store)
+    if int8_store:
+        # i32 accumulator headroom: S terms of at most 127*127 each
+        n_land = len(range(off, h, stride)) * len(range(off, w, stride))
+        assert n_land * 127 * 127 < 2**31, n_land
+
     def build_chunk(f_c):
         cross = jnp.dot(f_c, f_land.T, precision=jax.lax.Precision.HIGHEST)
         d2 = (f_c**2).sum(1)[:, None] + sq_land[None, :] - 2.0 * cross
         k = jnp.exp(-0.5 * jnp.maximum(d2, 0.0)) * v_land[None, :]
+        if int8_store:
+            # entries live in [0, 1]: symmetric scale 127, and the row
+            # sums come from the QUANTIZED values so the D^-1/2 K D^-1/2
+            # normalization matches the kernel actually applied
+            kq = jnp.round(k * 127.0)
+            return kq.astype(jnp.int8), kq.sum(1) * np.float32(1.0 / 127.0)
         return k.astype(mdt), k.sum(1)
 
     # largest divisor of n that is <= 4096 — never fall back to chunk=n
@@ -241,6 +272,19 @@ def crf_pair_program(
                                   preferred_element_type=jnp.float32),
                 f_chunks,
             ).reshape(n, -1)                                 # [N, 2L] f32
+        elif int8_store:
+            # int8 x int8 -> int32 MXU dot: the landmark activations are
+            # nonnegative (softmax x rsqrt row norms), so one per-column
+            # max is an exact symmetric scale; the kernel side carries
+            # the static 1/127 from build_chunk
+            qlT = q_land.T                                   # [S, 2L] f32
+            qscale = jnp.maximum(jnp.max(qlT, axis=0), 1e-20)
+            q8 = jnp.round(qlT * (127.0 / qscale)).astype(jnp.int8)
+            mb_flat = jnp.dot(
+                k_land, q8, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (
+                qscale * np.float32(1.0 / (127.0 * 127.0))
+            )[None, :]                                       # [N, 2L] f32
         else:
             mb_flat = jnp.dot(
                 k_land, q_land.T.astype(mdt),
@@ -269,6 +313,7 @@ class LandmarkCRF:
         n_label_cap: int = 21,
         matmul_dtype: str = "bfloat16",
         stream_kernel: bool = False,
+        kernel_store: str = "dense",
         device=None,
     ):
         self.stride = stride
@@ -277,6 +322,7 @@ class LandmarkCRF:
         self.n_label_cap = n_label_cap
         self.matmul_dtype = matmul_dtype
         self.stream_kernel = stream_kernel
+        self.kernel_store = kernel_store
         self.device = device
 
     def _bucket(self, h: int, w: int) -> Tuple[int, int]:
@@ -315,7 +361,8 @@ class LandmarkCRF:
             jnp.float32(gt_prob),
             hw=(ph, pw), n_label_cap=self.n_label_cap, stride=self.stride,
             t=self.t, matmul_dtype=self.matmul_dtype,
-            stream_kernel=self.stream_kernel, **kernel_kw,
+            stream_kernel=self.stream_kernel,
+            kernel_store=self.kernel_store, **kernel_kw,
         )
         out = np.asarray(out)
         return out[0, :h, :w], out[1, :h, :w]

@@ -66,6 +66,23 @@ class Config:
     crf_landmark_stride: int = 4          # tpu backend: landmark subgrid
                                           # stride (spatial sigma is 50 px,
                                           # so 4 is already conservative)
+    crf_kernel_store: str = "int8"        # tpu backend: landmark kernel
+                                          # storage. 'int8' (default)
+                                          # quantizes the [N, S] matrix
+                                          # (the HBM-bound object each
+                                          # mean-field iteration re-reads)
+                                          # to symmetric int8: 130.5 ->
+                                          # 101.8 ms/img at stride 4,
+                                          # agreement vs native 99.98%
+                                          # EQUAL to the dense store's,
+                                          # and the chain A/B
+                                          # (tools/ab_crf_chain.py round-5
+                                          # tpu_i8 arm) puts it inside
+                                          # the train-seed noise band
+                                          # end-of-chain, matching the
+                                          # dense arm to 4 decimals
+                                          # (BASELINE.md round-5b).
+                                          # 'dense' keeps the bf16 matrix
 
     # IRNet
     irn_crop_size: int = 512

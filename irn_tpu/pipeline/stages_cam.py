@@ -481,6 +481,7 @@ def cam_to_ir_label(cfg: Config) -> None:
         device_crf = crf_tpu.LandmarkCRF(
             stride=cfg.crf_landmark_stride, t=cfg.crf_iters,
             pad_multiple=cfg.pad_multiple,
+            kernel_store=cfg.crf_kernel_store,
         )
         refine = device_crf.pair  # t is already bound via LandmarkCRF(t=)
     else:

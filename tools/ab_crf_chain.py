@@ -178,6 +178,14 @@ def main() -> None:
     arms["tpu_s8"] = arm_cfg(
         "tpu_s8", "tpu", "result/ir_label_tpu_s8", crf_landmark_stride=8
     )
+    # int8 landmark-kernel storage: per-image agreement matches the
+    # dense store (99.98% both vs native, BASELINE.md round-5) at 1.3x
+    # the speed (102 vs 131.5 ms/img — the iteration matmul is
+    # HBM-bound on the kernel bytes) — this arm decides whether int8 is
+    # chain-safe as the device default
+    arms["tpu_i8"] = arm_cfg(
+        "tpu_i8", "tpu", "result/ir_label_tpu_i8", crf_kernel_store="int8"
+    )
     # noise floor: SAME native ir labels, different train stochasticity
     # (BatchLoader seed drives both the shuffle order and the per-sample
     # augmentation streams, data/loader.py:100-121)
@@ -188,6 +196,7 @@ def main() -> None:
     run_chain(arms["native"], make_ir=True)
     run_chain(arms["tpu"], make_ir=True)
     run_chain(arms["tpu_s8"], make_ir=True)
+    run_chain(arms["tpu_i8"], make_ir=True)
 
     orig_loader = loader_mod.BatchLoader
 
@@ -224,7 +233,7 @@ def main() -> None:
         return semseg.scores_from_confusion(
             semseg.confusion_matrix(preds, gts))["miou"]
 
-    device_arms = ("tpu", "tpu_s8")
+    device_arms = ("tpu", "tpu_s8", "tpu_i8")
     ir = {t: read_maps(arms[t].ir_label_out_dir)
           for t in ("native",) + device_arms}
     sem = {t: read_maps(arms[t].sem_seg_out_dir) for t in arms}

@@ -54,6 +54,11 @@ def main():
                     help="stream_kernel=True: recompute bilateral kernel "
                          "chunks per iteration instead of re-reading the "
                          "materialized [N, S] matrix from HBM")
+    ap.add_argument("--kstore", default="dense", choices=["dense", "int8"],
+                    help="landmark kernel storage: int8 halves the "
+                         "HBM-bound iteration matmul's bytes (the kernel "
+                         "matrix quantizes to scale-127 int8; activations "
+                         "per-column-quantize on the fly)")
     args = ap.parse_args()
 
     from irn_tpu.ops import crf, crf_tpu, native
@@ -78,7 +83,8 @@ def main():
         print(f"native lattice pair: {t_native*1000:7.1f} ms/img", flush=True)
 
     for stride in args.strides:
-        dev = crf_tpu.LandmarkCRF(stride=stride, stream_kernel=args.stream)
+        dev = crf_tpu.LandmarkCRF(stride=stride, stream_kernel=args.stream,
+                                  kernel_store=args.kstore)
 
         def pass_once(chunk):
             outs = []
@@ -116,7 +122,7 @@ def main():
                 out = crf_tpu.crf_pair_program(
                     im, la_, lb_, jnp.int32(h), jnp.int32(w), jnp.int32(6),
                     jnp.float32(0.7), hw=(ph, pw), stride=stride,
-                    stream_kernel=args.stream,
+                    stream_kernel=args.stream, kernel_store=args.kstore,
                 )
                 sums.append(jnp.sum(out.astype(jnp.int32)))
             return float(sums[-1] + 0 * sums[0])
