@@ -971,52 +971,7 @@ class RandomWalkRunner:
         with self._lock:
             prog = self._programs.get(key)
         if prog is None:
-            core = self._core(ch, cw)
-            fwd = runner.edge_dp_core
-            n_img = cap_px * cap_px * 3
-
-            def run_all(blob, h_px, w_px, h4_, w4_, h0, w0, bg):
-                # the image and the f32 cam rows ride ONE uint8 upload
-                # (each device_put through a relay transport is its own
-                # round trip); the cam bytes bitcast back here. u8[..., 4]
-                # -> f32 follows the platform byte order — little-endian
-                # on both TPU and the numpy host that packed them
-                # (parity-pinned in tests/test_fanout.py).
-                img = blob[:n_img].reshape(cap_px, cap_px, 3)
-                cam_rows_in = jax.lax.bitcast_convert_type(
-                    blob[n_img:].reshape(-1, ch, cw, 4), jnp.float32
-                )
-                edge, dp = fwd(img, h_px, w_px, h4_, w4_)
-                masks, n_found = _cluster_pack_core(dp, h4_, w4_, k_cap)
-                seeds = cam_rows_in[:, None] * masks[
-                    None, :, :ch, :cw
-                ].astype(cam_rows_in.dtype)
-                cam = seeds.reshape(-1, ch, cw)
-                pad = self._row_bucket(cam.shape[0]) - cam.shape[0]
-                if pad:
-                    cam = jnp.pad(cam, ((0, pad), (0, 0), (0, 0)))
-                labels, best = core(
-                    cam, edge[:ch, :cw], h4_, w4_, h0, w0, bg
-                )
-                if split:
-                    # device component split + per-component score
-                    # reduction (ops/ccl_tpu.component_tables): what the
-                    # host did per image with split_components +
-                    # np.maximum.at (the reference's skimage.measure
-                    # .label loop, make_ins_seg_labels.py:92-99) runs
-                    # INSIDE the walk program, and the fetch shrinks to
-                    # a uint8 id plane + tiny tables (_split_pack)
-                    cmap, crows, csizes, cscores, n_comp = (
-                        ccl_tpu.component_tables(
-                            labels, best, self.comp_cap
-                        )
-                    )
-                    return _split_pack(
-                        cmap, crows, csizes, cscores, n_comp, n_found
-                    )
-                return _walk_pack_meta(labels, best, n_found)
-
-            prog = jax.jit(run_all)
+            prog = jax.jit(self._monolith_body(runner, ch, cw, split))
             with self._lock:
                 self._programs[key] = prog
 
@@ -1024,6 +979,117 @@ class RandomWalkRunner:
             blob_in, jnp.int32(h), jnp.int32(w), jnp.int32(h4),
             jnp.int32(w4), jnp.int32(size[0]), jnp.int32(size[1]),
             jnp.float32(bg_thres),
+        )
+
+    def _monolith_body(self, runner, ch: int, cw: int, split: bool):
+        """The make_ins_seg monolith's traceable per-image body:
+        body(blob, h_px, w_px, h4, w4, h0, w0, bg) -> packed fetch.
+        :meth:`propagate_monolith_packed` jits one instance;
+        :meth:`propagate_monolith_pair_packed` traces it twice into one
+        program (call count prices relay transports)."""
+        core = self._core(ch, cw)
+        fwd = runner.edge_dp_core
+        cap_px = runner.cap * 4
+        k_cap = runner.cluster_cap
+        n_img = cap_px * cap_px * 3
+
+        def run_all(blob, h_px, w_px, h4_, w4_, h0, w0, bg):
+            # the image and the f32 cam rows ride ONE uint8 upload
+            # (each device_put through a relay transport is its own
+            # round trip); the cam bytes bitcast back here. u8[..., 4]
+            # -> f32 follows the platform byte order — little-endian
+            # on both TPU and the numpy host that packed them
+            # (parity-pinned in tests/test_fanout.py).
+            img = blob[:n_img].reshape(cap_px, cap_px, 3)
+            cam_rows_in = jax.lax.bitcast_convert_type(
+                blob[n_img:].reshape(-1, ch, cw, 4), jnp.float32
+            )
+            edge, dp = fwd(img, h_px, w_px, h4_, w4_)
+            masks, n_found = _cluster_pack_core(dp, h4_, w4_, k_cap)
+            seeds = cam_rows_in[:, None] * masks[
+                None, :, :ch, :cw
+            ].astype(cam_rows_in.dtype)
+            cam = seeds.reshape(-1, ch, cw)
+            pad = self._row_bucket(cam.shape[0]) - cam.shape[0]
+            if pad:
+                cam = jnp.pad(cam, ((0, pad), (0, 0), (0, 0)))
+            labels, best = core(
+                cam, edge[:ch, :cw], h4_, w4_, h0, w0, bg
+            )
+            if split:
+                # device component split + per-component score
+                # reduction (ops/ccl_tpu.component_tables): what the
+                # host did per image with split_components +
+                # np.maximum.at (the reference's skimage.measure
+                # .label loop, make_ins_seg_labels.py:92-99) runs
+                # INSIDE the walk program, and the fetch shrinks to
+                # a uint8 id plane + tiny tables (_split_pack)
+                cmap, crows, csizes, cscores, n_comp = (
+                    ccl_tpu.component_tables(
+                        labels, best, self.comp_cap
+                    )
+                )
+                return _split_pack(
+                    cmap, crows, csizes, cscores, n_comp, n_found
+                )
+            return _walk_pack_meta(labels, best, n_found)
+
+        return run_all
+
+    def propagate_monolith_pair_packed(self, runner, blob2: jax.Array,
+                                       hw_a: Tuple[int, int],
+                                       hw_b: Tuple[int, int],
+                                       bg_thres: float,
+                                       split: bool | None = None):
+        """TWO same-bucket images through ONE device program: the
+        :meth:`propagate_monolith_packed` body traced twice over a
+        stacked [2, L] blob, both packed results riding one stacked
+        fetch — 1 dispatch + 1 fetch per PAIR, halving the per-image
+        relay call count (call COUNT dominates bytes on relay-style
+        transports, round-4 breakdown; device time is unchanged — the
+        two bodies run back to back). True sizes are traced scalars, so
+        the pair only needs matching (bucket, cam-row count) — the
+        compile family stays the monolith's. Returns [2, ...] packed;
+        callers unpack each row exactly as the single fetch."""
+        assert self.mesh is None, "monolith unsupported in mesh mode"
+        if split is None:
+            split = self.comp_cap > 0
+        assert self.comp_cap <= 255, self.comp_cap
+        cap_px = runner.cap * 4
+        scalars = []
+        buckets = []
+        for h0, w0 in (hw_a, hw_b):
+            h4 = (h0 - 1) // 4 + 1
+            w4 = (w0 - 1) // 4 + 1
+            buckets.append((self._bucket(h4), self._bucket(w4)))
+            scalars.append(tuple(jnp.int32(s) for s in (
+                h0, w0, h4, w4, h0, w0
+            )))
+        assert buckets[0] == buckets[1], buckets  # same program shape
+        ch, cw = buckets[0]
+        n_cam = blob2.shape[1] - cap_px * cap_px * 3
+        rows = (n_cam // (ch * cw * 4)) * runner.cluster_cap
+        assert rows <= self.n_rows, (rows, self.n_rows)
+
+        key = ("monopairsplit" if split else "monopair",
+               ch, cw, runner.cluster_cap, id(runner))
+        with self._lock:
+            prog = self._programs.get(key)
+        if prog is None:
+            body = self._monolith_body(runner, ch, cw, split)
+
+            def run_pair(b2, *s):
+                return jnp.stack(
+                    [body(b2[0], *s[:6], s[12]),
+                     body(b2[1], *s[6:12], s[12])]
+                )
+
+            prog = jax.jit(run_pair)
+            with self._lock:
+                self._programs[key] = prog
+
+        return prog(
+            blob2, *scalars[0], *scalars[1], jnp.float32(bg_thres)
         )
 
     def propagate_sem_monolith_packed(self, runner, blob_in: jax.Array,

@@ -607,6 +607,41 @@ def test_propagate_monolith_matches_split_flow(rng):
     np.testing.assert_array_equal(mono, split)
 
 
+def test_propagate_monolith_pair_matches_singles(rng):
+    """propagate_monolith_pair_packed (two same-bucket images traced
+    through one program, one stacked fetch) must reproduce each image's
+    single-monolith pack byte-for-byte — the pair is a transport fold
+    (1 dispatch + 1 fetch per pair vs per image), not a math change.
+    True sizes differ inside the shared bucket to pin that they ride as
+    traced scalars."""
+    from irn_tpu.pipeline.stages_irn import monolith_pack
+
+    cfg = Config(rw_grid_cap=16, exp_times=3, rw_radius=2,
+                 ins_cluster_cap=4, ins_comp_cap=6)
+    variables = _tiny_irn_variables()
+    runner = EdgeDisplacementRunner(cfg, variables)
+    walker = RandomWalkRunner(cfg, n_seed_rows=32)
+    sizes = [(54, 46), (50, 42)]  # both bucket to the same (ch, cw)
+    c_pad = 2
+    blobs, singles = [], []
+    for size in sizes:
+        h4 = (size[0] - 1) // 4 + 1
+        w4 = (size[1] - 1) // 4 + 1
+        ch, cw = walker._bucket(h4), walker._bucket(w4)
+        img = (rng.random(size + (3,)) * 255).astype(np.uint8)
+        camp = np.zeros((c_pad, ch, cw), np.float32)
+        camp[:, :h4, :w4] = rng.random((c_pad, h4, w4)).astype(np.float32)
+        blobs.append(monolith_pack(runner, img, camp))
+        singles.append(np.asarray(walker.propagate_monolith(
+            runner, img, camp, size, 0.25
+        )))
+    pair = np.asarray(walker.propagate_monolith_pair_packed(
+        runner, jnp.asarray(np.stack(blobs)), sizes[0], sizes[1], 0.25
+    ))
+    np.testing.assert_array_equal(pair[0], singles[0])
+    np.testing.assert_array_equal(pair[1], singles[1])
+
+
 def test_sem_monolith_matches_split_flow(rng):
     """propagate_sem_monolith_packed (forward + walk + decode + u8 pack,
     ONE program fed by one packed blob) must equal the split flow
